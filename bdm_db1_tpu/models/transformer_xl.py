@@ -1,0 +1,449 @@
+"""TransformerXL decoder for multi-modal multi-task (Gato-style) modeling.
+
+TPU-first re-design of the reference model
+(reference: src/model/transformer_xl.py:34-748). Key differences from the
+CUDA/torch original, chosen for XLA/TPU:
+
+* one trunk pass over a mixed-modality batch with **static shapes**: every
+  modality group packs to the same sequence length and groups concatenate
+  along batch (replacing ragged per-dataclass forwards,
+  reference: src/model/transformer_xl.py:519-544);
+* image-patch splicing at ``-1`` token slots is a masked gather
+  (cumsum-index ``take_along_axis``) instead of boolean scatter
+  (reference: src/model/transformer_xl.py:630-642);
+* the segment-level memory is an explicit fixed-shape carry
+  ``[n_layer, B, mem_len, D]`` (functionally an on-device cache) so the
+  autoregressive eval step jits once per geometry
+  (reference: src/model/transformer_xl.py:470-504);
+* layers run under ``nn.scan`` (stacked params, fast compiles, PP-ready);
+* attention scores/softmax/loss in fp32, bulk matmuls in bf16 on the MXU;
+* weight matrices carry logical sharding axes ("vocab", "embed", "heads",
+  "mlp") so pjit can lay them out over a ("data", "model") mesh — this
+  implements the tensor parallelism the reference only stubs
+  (reference: src/mpu/initialize.py:140-151).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from bdm_db1_tpu.core.config import ModelConfig, VisionConfig, VocabConfig
+from bdm_db1_tpu.core.vocab import VocabLayout
+from bdm_db1_tpu.data.input_specs import (
+    ICTaskBatch,
+    MODALITY_ORDER,
+    NLPTaskBatch,
+    RLTaskBatch,
+    VQATaskBatch,
+)
+from bdm_db1_tpu.models.activations import ACT2FN
+from bdm_db1_tpu.models.vision import VisionEmbedding
+from bdm_db1_tpu.ops.attention import (
+    causal_mask,
+    rel_attention,
+    same_length_mask,
+)
+from bdm_db1_tpu.ops.positional import relative_positional_embedding
+
+Array = jnp.ndarray
+
+NORMAL_INIT = nn.initializers.normal(stddev=0.02)
+
+
+def _part(init, names):
+    return nn.with_logical_partitioning(init, names)
+
+
+def _xavier(gain: float):
+    def init(key, shape, dtype):
+        fan_in, fan_out = shape[0], shape[1]
+        limit = gain * (6.0 / (fan_in + fan_out)) ** 0.5
+        return jax.random.uniform(key, shape, dtype, -limit, limit)
+
+    return init
+
+
+def _qkv_init(cfg: ModelConfig):
+    """DeepNorm qkv init: xavier(1) for q,k block, xavier(beta) for v block,
+    fans per the torch slice semantics (reference:
+    src/model/transformer_xl.py:444-454); plain normal(0.02) otherwise."""
+    if not cfg.use_deepnorm:
+        return NORMAL_INIT
+    d = cfg.n_embed
+    beta = (8 * cfg.n_layer) ** -0.25
+
+    def init(key, shape, dtype):
+        k1, k2 = jax.random.split(key)
+        qk = _xavier(1.0)(k1, (d, 3 * d), dtype)[:, : 2 * d]
+        v = _xavier(beta)(k2, (d, d), dtype)
+        return jnp.concatenate([qk, v], axis=1)
+
+    return init
+
+
+def _deepnorm_or_normal(cfg: ModelConfig):
+    if not cfg.use_deepnorm:
+        return NORMAL_INIT
+    return _xavier((8 * cfg.n_layer) ** -0.25)
+
+
+class RelMultiHeadAttn(nn.Module):
+    """Relative multi-head attention with fused QKV over [mem || x]
+    (reference: src/model/transformer_xl.py:53-243)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,                # [B, q, D]
+        r: Array,                # [k, D] positional embeddings
+        mem: Array,              # [B, M, D] (M may be 0)
+        mask: Array,             # [q, k] bool
+        r_w_bias: Optional[Array],
+        r_r_bias: Optional[Array],
+        deterministic: bool,
+    ) -> Array:
+        cfg = self.cfg
+        d, h, dh = cfg.n_embed, cfg.n_head, cfg.d_head
+        dtype = jnp.dtype(cfg.dtype)
+
+        if cfg.untie_r:
+            r_w_bias = self.param(
+                "r_w_bias", _part(NORMAL_INIT, ("heads", "head_dim")), (h, dh),
+                cfg.param_dtype,
+            )
+            r_r_bias = self.param(
+                "r_r_bias", _part(NORMAL_INIT, ("heads", "head_dim")), (h, dh),
+                cfg.param_dtype,
+            )
+
+        ln = nn.LayerNorm(
+            epsilon=cfg.layer_norm_epsilon, dtype=dtype,
+            param_dtype=cfg.param_dtype, name="layer_norm",
+        )
+
+        cat = jnp.concatenate([mem.astype(dtype), x.astype(dtype)], axis=1)
+        pre = ln(cat) if cfg.pre_lnorm else cat
+
+        qkv = nn.Dense(
+            3 * d, use_bias=False, dtype=dtype, param_dtype=cfg.param_dtype,
+            kernel_init=_part(_qkv_init(cfg), ("embed", "qkv")), name="qkv_net",
+        )(pre)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        qlen = x.shape[1]
+        klen = cat.shape[1]
+        b = x.shape[0]
+        q = q[:, -qlen:].reshape(b, qlen, h, dh)
+        k = k.reshape(b, klen, h, dh)
+        v = v.reshape(b, klen, h, dh)
+
+        r_k = nn.Dense(
+            d, use_bias=False, dtype=dtype, param_dtype=cfg.param_dtype,
+            kernel_init=_part(NORMAL_INIT, ("embed", "qkv")), name="r_net",
+        )(r.astype(dtype)).reshape(klen, h, dh)
+
+        drop_rng = None
+        if not deterministic and cfg.dropattn > 0.0:
+            drop_rng = self.make_rng("dropout")
+        attn = rel_attention(
+            q, k, v, r_k, r_w_bias, r_r_bias, mask,
+            dropout_rate=cfg.dropattn if not deterministic else 0.0,
+            dropout_rng=drop_rng, compute_dtype=dtype,
+        )
+        out = nn.Dense(
+            d, use_bias=False, dtype=dtype, param_dtype=cfg.param_dtype,
+            kernel_init=_part(_deepnorm_or_normal(cfg), ("heads", "embed")),
+            name="o_net",
+        )(attn.reshape(b, qlen, d))
+        out = nn.Dropout(cfg.drop)(out, deterministic=deterministic)
+
+        alpha = (2 * cfg.n_layer) ** 0.25 if cfg.use_deepnorm else 1.0
+        if cfg.pre_lnorm:
+            return x + out
+        return ln(x * alpha + out)  # post-LN residual
+
+
+class PositionwiseFF(nn.Module):
+    """FFN with optional GEGLU (reference: src/model/transformer_xl.py:246-292).
+
+    GEGLU is stored as two half-width kernels (value + gate) — equivalent to
+    the reference's single wide matrix split in two, but independently
+    shardable along the "mlp" axis for TP.
+    """
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool) -> Array:
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.dtype)
+        act = ACT2FN[cfg.activation_fn]
+        d_inner = cfg.d_inner
+
+        ln = nn.LayerNorm(
+            epsilon=cfg.layer_norm_epsilon, dtype=dtype,
+            param_dtype=cfg.param_dtype, name="layer_norm",
+        )
+        inp = ln(x) if cfg.pre_lnorm else x
+
+        dense_in = nn.Dense(
+            d_inner, dtype=dtype, param_dtype=cfg.param_dtype,
+            kernel_init=_part(_deepnorm_or_normal(cfg), ("embed", "mlp")),
+            bias_init=_part(nn.initializers.zeros_init(), ("mlp",)),
+            name="wi",
+        )
+        h = act(dense_in(inp))
+        h = nn.Dense(
+            cfg.n_embed, dtype=dtype, param_dtype=cfg.param_dtype,
+            kernel_init=_part(_deepnorm_or_normal(cfg), ("mlp", "embed")),
+            bias_init=_part(nn.initializers.zeros_init(), ("embed",)),
+            name="wo",
+        )(h)
+        h = nn.Dropout(cfg.drop)(h, deterministic=deterministic)
+
+        alpha = (2 * cfg.n_layer) ** 0.25 if cfg.use_deepnorm else 1.0
+        if cfg.pre_lnorm:
+            return h + x
+        return ln(x * alpha + h)
+
+
+class DecoderLayer(nn.Module):
+    """Attention + FFN (reference: src/model/transformer_xl.py:295-353)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, h, mem, r, mask, r_w_bias, r_r_bias, deterministic):
+        hid_in = h
+        h = RelMultiHeadAttn(self.cfg, name="attn")(
+            h, r, mem, mask, r_w_bias, r_r_bias, deterministic
+        )
+        h = PositionwiseFF(self.cfg, name="ff")(h, deterministic)
+        return h, hid_in
+
+
+class TransformerXL(nn.Module):
+    cfg: ModelConfig
+    vocab: VocabConfig
+    vision: VisionConfig
+
+    @property
+    def layout(self) -> VocabLayout:
+        return self.vocab.layout()
+
+    def setup(self):
+        cfg = self.cfg
+        layout = self.vocab.layout()
+        self.word_embedding = nn.Embed(
+            layout.padded_vocab_size, cfg.n_embed,
+            dtype=jnp.dtype(cfg.dtype), param_dtype=cfg.param_dtype,
+            embedding_init=_part(NORMAL_INIT, ("vocab", "embed")),
+            name="word_embedding",
+        )
+        self.rl_timestep_embedding = nn.Embed(
+            cfg.rl_timestep_vocab_size, cfg.n_embed,
+            dtype=jnp.dtype(cfg.dtype), param_dtype=cfg.param_dtype,
+            embedding_init=_part(NORMAL_INIT, (None, "embed")),
+            name="rl_timestep_embedding",
+        )
+        self.vision_encoder = VisionEmbedding(cfg, self.vision, name="vision")
+        if not cfg.untie_r:
+            self.r_w_bias = self.param(
+                "r_w_bias", _part(NORMAL_INIT, ("heads", "head_dim")),
+                (cfg.n_head, cfg.d_head), cfg.param_dtype,
+            )
+            self.r_r_bias = self.param(
+                "r_r_bias", _part(NORMAL_INIT, ("heads", "head_dim")),
+                (cfg.n_head, cfg.d_head), cfg.param_dtype,
+            )
+        ScanLayers = nn.scan(
+            DecoderLayer,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast,
+                     nn.broadcast),
+            out_axes=0,
+            length=cfg.n_layer,
+            metadata_params={nn.meta.PARTITION_NAME: "layers"},
+        )
+        self.layers = ScanLayers(cfg, name="layers")
+        if not cfg.share_input_output_embedding:
+            self.lm_head = nn.Dense(
+                self.vocab.layout().padded_vocab_size, use_bias=False,
+                dtype=jnp.dtype(cfg.dtype), param_dtype=cfg.param_dtype,
+                kernel_init=_part(NORMAL_INIT, ("embed", "vocab")),
+                name="lm_head",
+            )
+        self.embed_dropout = nn.Dropout(cfg.embd_pdrop)
+
+    # ---- memory ----------------------------------------------------------
+    def init_mems(self, batch_size: int) -> Array:
+        """Zero segment memory [n_layer, B, mem_len, D]
+        (reference: src/model/transformer_xl.py:470-485)."""
+        cfg = self.cfg
+        return jnp.zeros(
+            (cfg.n_layer, batch_size, cfg.mem_len, cfg.n_embed),
+            dtype=jnp.dtype(cfg.dtype),
+        )
+
+    # ---- per-modality embedders -------------------------------------------
+    def embed_rl(self, batch: RLTaskBatch, deterministic: bool = True) -> Array:
+        """Word-embed ids >= 0, splice patch embeddings at -1 slots, add the
+        local-timestep embedding (reference: src/model/transformer_xl.py:621-660)."""
+        ids = batch.tokens
+        b, l = ids.shape
+        img_slot = ids < 0
+        emb = self.word_embedding(jnp.maximum(ids, 0))
+        emb = jnp.where(img_slot[..., None], 0.0, emb)
+        if batch.images is not None:
+            imgs = batch.images
+            bt = imgs.shape[0] * imgs.shape[1]
+            vis = self.vision_encoder(
+                imgs.reshape((bt,) + imgs.shape[2:]), deterministic=deterministic
+            )
+            vis = vis.reshape(b, -1, self.cfg.n_embed)
+            # j-th image slot in a row takes the j-th patch embedding
+            slot_idx = jnp.clip(jnp.cumsum(img_slot, axis=1) - 1, 0, vis.shape[1] - 1)
+            gathered = jnp.take_along_axis(vis, slot_idx[..., None], axis=1)
+            emb = jnp.where(img_slot[..., None], gathered, emb)
+        emb = emb + self.rl_timestep_embedding(batch.position_id)
+        return emb
+
+    def embed_nlp(self, batch: NLPTaskBatch, deterministic: bool = True) -> Array:
+        return self.word_embedding(batch.tokens)
+
+    def embed_ic(self, batch: ICTaskBatch, deterministic: bool = True) -> Array:
+        vis = self.vision_encoder(batch.images, deterministic=deterministic)
+        return jnp.concatenate(
+            [self.word_embedding(batch.prompt), vis,
+             self.word_embedding(batch.text)], axis=1,
+        )
+
+    def embed_vqa(self, batch: VQATaskBatch, deterministic: bool = True) -> Array:
+        vis = self.vision_encoder(batch.images, deterministic=deterministic)
+        return jnp.concatenate(
+            [self.word_embedding(batch.prompt), vis,
+             self.word_embedding(batch.text)], axis=1,
+        )
+
+    # ---- trunk --------------------------------------------------------------
+    def trunk(
+        self, h: Array, mems: Optional[Array], deterministic: bool
+    ) -> Tuple[Array, Optional[Array]]:
+        cfg = self.cfg
+        b, qlen, _ = h.shape
+        if mems is None:
+            mems_in = jnp.zeros(
+                (cfg.n_layer, b, 0, cfg.n_embed), dtype=jnp.dtype(cfg.dtype)
+            )
+        else:
+            mems_in = mems.astype(jnp.dtype(cfg.dtype))
+        mlen = mems_in.shape[2]
+        klen = mlen + qlen
+
+        if cfg.same_length:
+            mask = same_length_mask(qlen, klen, cfg.mem_len)
+        else:
+            mask = causal_mask(qlen, klen)
+
+        r = relative_positional_embedding(
+            klen, cfg.n_embed, cfg.effective_clamp_len
+        )
+        h = self.embed_dropout(h, deterministic=deterministic)
+        r = self.embed_dropout(r, deterministic=deterministic)
+
+        r_w = getattr(self, "r_w_bias", None)
+        r_r = getattr(self, "r_r_bias", None)
+        h, hids = self.layers(h, mems_in, r, mask, r_w, r_r, deterministic)
+
+        new_mems = None
+        if mems is not None:
+            # slide the window: keep the trailing mem_len of [mem || hids]
+            # (reference: src/model/transformer_xl.py:487-504)
+            cat = jnp.concatenate([mems_in, hids], axis=2)
+            new_mems = jax.lax.stop_gradient(cat[:, :, -cfg.mem_len:, :])
+        return h, new_mems
+
+    def logits(self, h: Array) -> Array:
+        if self.cfg.share_input_output_embedding:
+            emb = self.word_embedding.embedding
+            return jnp.einsum(
+                "bld,vd->blv", h.astype(jnp.dtype(self.cfg.dtype)),
+                emb.astype(jnp.dtype(self.cfg.dtype)),
+            ).astype(jnp.float32)
+        return self.lm_head(h).astype(jnp.float32)
+
+    # ---- entry points ---------------------------------------------------------
+    def __call__(
+        self,
+        batch: Dict[str, Any],
+        mems: Optional[Array] = None,
+        compute_loss: bool = True,
+        deterministic: bool = True,
+    ):
+        """Mixed-modality forward. ``batch`` maps modality name -> sub-batch;
+        groups concatenate along batch for one trunk pass."""
+        assert not (compute_loss and mems is not None), (
+            "training does not use segment memory"
+        )
+        embed_fns = {
+            "rl": self.embed_rl, "nlp": self.embed_nlp,
+            "ic": self.embed_ic, "vqa": self.embed_vqa,
+        }
+        embs, masks, labels = [], [], []
+        for name in MODALITY_ORDER:
+            if name not in batch or batch[name] is None:
+                continue
+            sub = batch[name]
+            embs.append(embed_fns[name](sub, deterministic))
+            if compute_loss:
+                masks.append(sub.loss_mask)
+                labels.append(jnp.maximum(sub.label, 0))
+
+        h = jnp.concatenate(embs, axis=0) if len(embs) > 1 else embs[0]
+        h, new_mems = self.trunk(h, mems, deterministic)
+        logits = self.logits(h)
+
+        loss = None
+        if compute_loss:
+            loss_mask = jnp.concatenate(masks, axis=0).astype(jnp.float32)
+            label = jnp.concatenate(labels, axis=0)
+            loss = masked_cross_entropy(logits, label, loss_mask,
+                                        self.layout.total_vocab_size)
+        if mems is not None:
+            return logits, loss, new_mems
+        return logits, loss
+
+    def decode_rl(
+        self,
+        tokens: Array,          # [B, q]
+        position_id: Array,     # [B, q]
+        mems: Array,            # [n_layer, B, mem_len, D]
+        images: Optional[Array] = None,  # [B, T, H, W, C]
+    ) -> Tuple[Array, Array]:
+        """One autoregressive eval step: returns (last-position logits
+        [B, V], new mems). The caller applies action masking + argmax."""
+        sub = RLTaskBatch(tokens=tokens, position_id=position_id, images=images)
+        h = self.embed_rl(sub)
+        h, new_mems = self.trunk(h, mems, deterministic=True)
+        logits = self.logits(h[:, -1:, :])[:, 0, :]
+        return logits, new_mems
+
+
+def masked_cross_entropy(
+    logits: Array, labels: Array, loss_mask: Array, valid_vocab: int
+) -> Array:
+    """Masked mean CE in fp32 (reference: src/model/transformer_xl.py:602-611).
+    The MXU padding tail of the vocab is excluded from the softmax."""
+    v = logits.shape[-1]
+    if valid_vocab < v:
+        pad_bias = jnp.where(jnp.arange(v) < valid_vocab, 0.0, -1e30)
+        logits = logits + pad_bias
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    return (nll * loss_mask).sum() / jnp.maximum(loss_mask.sum(), 1e-8)
