@@ -210,20 +210,13 @@ class DB1Config:
 def db1_1p2b(**model_overrides) -> DB1Config:
     """The 1.2B flagship (reference: scripts/evaluate/evaluate_rl_1.2B.sh:16-86)."""
     cfg = DB1Config()
-    cfg.model = ModelConfig(
-        n_embed=2048,
-        n_position=1024,
-        n_layer=24,
-        n_head=16,
-        n_inner=8192,
-        activation_fn="geglu",
-        mem_len=1024,
-        pre_lnorm=False,
-        same_length=True,
-        untie_r=False,
-        share_input_output_embedding=True,
-        **model_overrides,
+    kw = dict(
+        n_embed=2048, n_position=1024, n_layer=24, n_head=16, n_inner=8192,
+        activation_fn="geglu", mem_len=1024, pre_lnorm=False,
+        same_length=True, untie_r=False, share_input_output_embedding=True,
     )
+    kw.update(model_overrides)
+    cfg.model = ModelConfig(**kw)
     return cfg
 
 
@@ -232,20 +225,13 @@ def db1_tiny(**model_overrides) -> DB1Config:
     cfg = DB1Config()
     cfg.vocab = VocabConfig(text_vocab_size=256, num_discrete_values=64,
                             num_continuous_bin=64)
-    cfg.model = ModelConfig(
-        n_embed=64,
-        n_position=64,
-        n_layer=2,
-        n_head=4,
-        n_inner=256,
-        activation_fn="geglu",
-        mem_len=32,
-        pre_lnorm=False,
-        same_length=True,
-        untie_r=False,
-        share_input_output_embedding=True,
-        **model_overrides,
+    kw = dict(
+        n_embed=64, n_position=64, n_layer=2, n_head=4, n_inner=256,
+        activation_fn="geglu", mem_len=32, pre_lnorm=False, same_length=True,
+        untie_r=False, share_input_output_embedding=True,
     )
+    kw.update(model_overrides)
+    cfg.model = ModelConfig(**kw)
     cfg.data.seq_length = 64
     return cfg
 

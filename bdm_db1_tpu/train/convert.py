@@ -1,0 +1,171 @@
+"""Torch/DeepSpeed checkpoint -> JAX parameter tree converter.
+
+The reference persists fp16 torch state dicts through the DeepSpeed engine
+(reference: src/checkpointing.py:17-22; load at
+src/evaluation/evaluate_rl.py:509-511, tag ``db1_870task_checkpoint``).
+This module maps those tensors onto our flax layout:
+
+* per-layer weights stack along a leading layer axis (nn.scan layout);
+* torch ``Linear.weight`` is [out, in] -> flax ``kernel`` is [in, out];
+* torch conv weights are OIHW -> flax HWIO;
+* the embedding table pads to ``padded_vocab_size`` with zero rows;
+* everything is upcast to fp32 master params.
+
+Torch is only needed to *read* checkpoints; conversion itself is numpy.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Mapping
+
+import numpy as np
+
+from bdm_db1_tpu.core.config import DB1Config
+
+
+def _t(w: np.ndarray) -> np.ndarray:
+    """torch Linear weight [out, in] -> flax kernel [in, out]."""
+    return np.ascontiguousarray(w.T)
+
+
+def _conv(w: np.ndarray) -> np.ndarray:
+    """torch conv OIHW -> flax HWIO."""
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
+
+
+def _np(x) -> np.ndarray:
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().float().numpy()
+    return np.asarray(x, dtype=np.float32)
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch/DeepSpeed checkpoint file into numpy.
+
+    Accepts either a raw ``state_dict`` file or a DeepSpeed engine state
+    (``module`` key), e.g. ``<dir>/<tag>/mp_rank_00_model_states.pt``.
+    """
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "module" in obj and isinstance(obj["module"], dict):
+        obj = obj["module"]
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    out = {}
+    for k, v in obj.items():
+        if hasattr(v, "numel"):
+            out[k.replace("module.", "", 1) if k.startswith("module.") else k] = _np(v)
+    return out
+
+
+def find_deepspeed_model_states(load_dir: str, tag: str) -> str:
+    cand = os.path.join(load_dir, tag, "mp_rank_00_model_states.pt")
+    if os.path.exists(cand):
+        return cand
+    for root, _, files in os.walk(os.path.join(load_dir, tag)):
+        for f in files:
+            if f.endswith("model_states.pt"):
+                return os.path.join(root, f)
+    raise FileNotFoundError(f"no model_states.pt under {load_dir}/{tag}")
+
+
+def convert_state_dict(sd: Mapping[str, np.ndarray], cfg: DB1Config) -> dict:
+    """Reference torch parameter names -> flax param pytree (pure numpy)."""
+    m = cfg.model
+    layout = cfg.vocab.layout()
+    L = m.n_layer
+
+    def stack(fmt: str, f=lambda x: x) -> np.ndarray:
+        return np.stack([f(_np(sd[fmt.format(i=i)])) for i in range(L)], axis=0)
+
+    # --- embeddings ------------------------------------------------------
+    emb = _np(sd["word_embedding.weight"])
+    assert emb.shape[0] == layout.total_vocab_size, (
+        emb.shape, layout.total_vocab_size)
+    pad = layout.padded_vocab_size - emb.shape[0]
+    if pad:
+        emb = np.concatenate([emb, np.zeros((pad, emb.shape[1]), emb.dtype)], 0)
+
+    params: dict = {
+        "word_embedding": {"embedding": emb},
+        "rl_timestep_embedding": {
+            "embedding": _np(sd["rl_local_timestep_embedding.weight"])
+        },
+    }
+
+    # --- shared relative-position biases -----------------------------------
+    if not m.untie_r:
+        params["r_w_bias"] = _np(sd["r_w_bias"])
+        params["r_r_bias"] = _np(sd["r_r_bias"])
+
+    # --- decoder layers (scan-stacked) -------------------------------------
+    attn = {
+        "qkv_net": {"kernel": stack("h.{i}.dec_attn.qkv_net.weight", _t)},
+        "r_net": {"kernel": stack("h.{i}.dec_attn.r_net.weight", _t)},
+        "o_net": {"kernel": stack("h.{i}.dec_attn.o_net.weight", _t)},
+        "layer_norm": {
+            "scale": stack("h.{i}.dec_attn.layer_norm.weight"),
+            "bias": stack("h.{i}.dec_attn.layer_norm.bias"),
+        },
+    }
+    if m.untie_r:
+        attn["r_w_bias"] = stack("h.{i}.dec_attn.r_w_bias")
+        attn["r_r_bias"] = stack("h.{i}.dec_attn.r_r_bias")
+    ff = {
+        "wi": {
+            "kernel": stack("h.{i}.pos_ff.CoreNet.0.weight", _t),
+            "bias": stack("h.{i}.pos_ff.CoreNet.0.bias"),
+        },
+        "wo": {
+            "kernel": stack("h.{i}.pos_ff.CoreNet.2.weight", _t),
+            "bias": stack("h.{i}.pos_ff.CoreNet.2.bias"),
+        },
+        "layer_norm": {
+            "scale": stack("h.{i}.pos_ff.layer_norm.weight"),
+            "bias": stack("h.{i}.pos_ff.layer_norm.bias"),
+        },
+    }
+    params["layers"] = {"attn": attn, "ff": ff}
+
+    # --- vision encoder -------------------------------------------------------
+    vp = "vision_encoder.patch_embeddings."
+    if vp + "conv1.weight" in sd:
+        patch = {
+            "conv_in": {"kernel": _conv(_np(sd[vp + "conv1.weight"])),
+                        "bias": _np(sd[vp + "conv1.bias"])},
+            "gn1": {"scale": _np(sd[vp + "residual_path.0.weight"]),
+                    "bias": _np(sd[vp + "residual_path.0.bias"])},
+            "conv_mid1": {"kernel": _conv(_np(sd[vp + "residual_path.2.weight"])),
+                          "bias": _np(sd[vp + "residual_path.2.bias"])},
+            "gn2": {"scale": _np(sd[vp + "residual_path.3.weight"]),
+                    "bias": _np(sd[vp + "residual_path.3.bias"])},
+            "conv_mid2": {"kernel": _conv(_np(sd[vp + "residual_path.5.weight"])),
+                          "bias": _np(sd[vp + "residual_path.5.bias"])},
+            "projection": {"kernel": _conv(_np(sd[vp + "projection.weight"])),
+                           "bias": _np(sd[vp + "projection.bias"])},
+        }
+        params["vision"] = {
+            "patch": patch,
+            "row_pos": {"embedding": _np(
+                sd["vision_encoder.row_position_embeddings.weight"])},
+            "col_pos": {"embedding": _np(
+                sd["vision_encoder.col_position_embeddings.weight"])},
+        }
+
+    if not m.share_input_output_embedding and "lm_head.weight" in sd:
+        head = _t(_np(sd["lm_head.weight"]))
+        padc = layout.padded_vocab_size - head.shape[1]
+        if padc:
+            head = np.concatenate(
+                [head, np.zeros((head.shape[0], padc), head.dtype)], 1)
+        params["lm_head"] = {"kernel": head}
+
+    return params
+
+
+def convert_checkpoint(load_dir: str, tag: str, cfg: DB1Config) -> dict:
+    """End-to-end: DeepSpeed checkpoint dir -> flax params."""
+    sd = load_torch_state_dict(find_deepspeed_model_states(load_dir, tag))
+    return convert_state_dict(sd, cfg)
