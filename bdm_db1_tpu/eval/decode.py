@@ -1,0 +1,137 @@
+"""Jitted autoregressive action decoding with on-device memory carry.
+
+The reference decodes one action dimension per Python-level forward with a
+host<->device ping-pong per token (reference: src/evaluation/evaluate_rl.py:157-266).
+Here the whole per-env-step decode is ONE device program:
+
+    prime forward over [obs || sep] (or [prompt || obs || sep] at episode
+    start) -> lax.scan over action dims, each feeding back the previous
+    argmax token with local-timestep id 0 -> final forward of the last
+    action token folds it into the segment memory (the reference does this
+    as an extra host-driven call, evaluate_rl.py:245-260).
+
+Only the [action_length] action-token vector crosses back to the host.
+Logit masking uses additive biases from ``VocabLayout`` (exact semantics of
+masked_logits_for_action, reference: evaluate_rl.py:96-124); per-step env
+action masks enter as a runtime bias argument, so no recompilation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bdm_db1_tpu.core.vocab import VocabLayout
+from bdm_db1_tpu.data.packing import action_flags_and_position_ids
+from bdm_db1_tpu.models.transformer_xl import TransformerXL
+
+
+class ActionDecoder:
+    """Per-environment-geometry greedy decoder (jit cache per prime qlen)."""
+
+    def __init__(
+        self,
+        model: TransformerXL,
+        params,
+        layout: VocabLayout,
+        obs_length: int,
+        action_length: int,
+        discrete_action: bool,
+        num_actions: Optional[int] = None,
+    ):
+        self.model = model
+        self.params = params
+        self.layout = layout
+        self.obs_length = int(obs_length)
+        self.action_length = int(action_length)
+        self.discrete_action = discrete_action
+        if discrete_action:
+            assert num_actions is not None
+            base = layout.discrete_action_logit_bias(num_actions)
+        else:
+            base = layout.continuous_action_logit_bias()
+        self._base_bias = base
+        self._num_actions = num_actions
+        self._jit_decode = jax.jit(
+            partial(_decode_step, model, self.action_length)
+        )
+
+    def init_mems(self, batch_size: int = 1):
+        return self.model.apply(
+            {"params": self.params}, batch_size,
+            method=TransformerXL.init_mems)
+
+    def bias_with_env_mask(self, env_action_mask) -> np.ndarray:
+        """Fold an env-supplied 0/1 action mask into the base bias
+        (reference: evaluate_rl.py:119-123)."""
+        bias = self._base_bias
+        if env_action_mask is not None and self.discrete_action:
+            bias = bias.copy()
+            extra = np.abs(np.asarray(env_action_mask, np.float32) - 1) * 1e10
+            lo = self.layout.discrete_offset
+            bias[lo: lo + self._num_actions] -= extra
+        return bias
+
+    def decode(
+        self,
+        prime_tokens: np.ndarray,      # [q] int
+        mems,                          # [n_layer, 1, mem_len, D]
+        prime_images: Optional[np.ndarray] = None,  # [T, H, W, C]
+        env_action_mask=None,
+    ) -> Tuple[np.ndarray, object]:
+        """Greedy-decode one action; returns (action token ids [action_length],
+        new mems). The prime sequence must start at a transition boundary."""
+        _, pos = action_flags_and_position_ids(
+            len(prime_tokens), self.obs_length, self.action_length, 0)
+        bias = jnp.asarray(self.bias_with_env_mask(env_action_mask))
+        tokens = jnp.asarray(prime_tokens, jnp.int32)[None]
+        pos = jnp.asarray(pos, jnp.int32)[None]
+        images = (
+            jnp.asarray(prime_images, jnp.float32)[None]
+            if prime_images is not None else None
+        )
+        act_tokens, new_mems = self._jit_decode(
+            {"params": self.params}, tokens, pos, mems, bias, images)
+        return np.asarray(act_tokens), new_mems
+
+
+def _decode_step(model, action_length, variables, tokens, pos, mems, bias,
+                 images):
+    """prime forward + scan over action dims, entirely on device."""
+    logits, mems = model.apply(
+        variables, tokens, pos, mems, images, method=TransformerXL.decode_rl)
+    tok0 = jnp.argmax(logits + bias[None, :], axis=-1).astype(jnp.int32)  # [1]
+
+    zero_pos = jnp.zeros((1, 1), jnp.int32)
+
+    def body(carry, _):
+        tok, mems = carry
+        lg, mems = model.apply(
+            variables, tok[:, None], zero_pos, mems,
+            method=TransformerXL.decode_rl)
+        nxt = jnp.argmax(lg + bias[None, :], axis=-1).astype(jnp.int32)
+        return (nxt, mems), nxt
+
+    (_, mems), rest = jax.lax.scan(
+        body, (tok0, mems), None, length=action_length)
+    # rest[i] is the token decoded after feeding token i; the last one is a
+    # throwaway (the feed exists purely to fold token n-1 into the memory)
+    act = jnp.concatenate([tok0[None], rest[:-1, :]], axis=0)[:, 0]
+    return act, mems
+
+
+def build_decoder_for_env(model, params, tokenized_env) -> ActionDecoder:
+    from bdm_db1_tpu.eval.envs import is_discrete_space
+
+    discrete = is_discrete_space(tokenized_env.action_space)
+    return ActionDecoder(
+        model, params, tokenized_env.tok.layout,
+        obs_length=tokenized_env.obs_length,
+        action_length=tokenized_env.action_length,
+        discrete_action=discrete,
+        num_actions=tokenized_env.action_space.n if discrete else None,
+    )

@@ -1,0 +1,142 @@
+"""RL evaluation harness: episode loop, per-env evaluation, env sharding.
+
+Counterpart of the reference eval driver
+(reference: src/evaluation/evaluate_rl.py:286-541) with the TPU-native
+decode path: the device holds the segment memory, the host only tokenizes
+observations and steps the (gym) env, and the two overlap naturally because
+``ActionDecoder.decode`` returns before the TPU finishes (async dispatch).
+
+Multi-host: envs are sharded round-robin across processes
+(reference: evaluate_rl.py:452-482 chunks across ranks) and results gathered
+with ``multihost_utils.process_allgather`` instead of NCCL gather_object.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from bdm_db1_tpu.eval.decode import ActionDecoder, build_decoder_for_env
+from bdm_db1_tpu.eval.wrapper import TokenizedEnv
+
+
+@dataclasses.dataclass
+class EpisodeResult:
+    env_name: str
+    episode_return: float
+    episode_length: int
+
+
+def run_episode(
+    env: TokenizedEnv,
+    decoder: ActionDecoder,
+    *,
+    use_prompt: bool = True,
+    strict_length: bool = True,
+    minimal_expert_data: bool = False,
+    max_step_size: Optional[int] = None,
+    rng: Optional[np.random.RandomState] = None,
+) -> EpisodeResult:
+    """One episode in memory ("moving prompt") mode
+    (reference: evaluate_rl.py:286-410, the mem_len>0 path)."""
+    sep = np.array([env.separator_id], dtype=np.int64)
+
+    obs_tokens, obs_img, action_mask = env.reset()
+
+    if use_prompt:
+        prompt, prompt_img = env.get_prompt(
+            strict_length=strict_length,
+            minimal_expert_data=minimal_expert_data, rng=rng)
+        prime = np.concatenate([prompt, obs_tokens, sep])
+        if prompt_img is not None or obs_img is not None:
+            parts = [p for p in (prompt_img, obs_img) if p is not None]
+            prime_img = np.concatenate(parts, axis=0)
+        else:
+            prime_img = None
+    else:
+        prime = np.concatenate([obs_tokens, sep])
+        prime_img = obs_img
+
+    mems = decoder.init_mems(1)
+    episode_return, episode_length = 0.0, 0
+    done = False
+
+    while not done:
+        act_tokens, mems = decoder.decode(
+            prime, mems, prime_images=prime_img, env_action_mask=action_mask)
+        action = env.tok.decode_action(act_tokens, env.discrete_action)
+        obs_tokens, obs_img, action_mask, reward, done, _ = env.step(action)
+        episode_return += reward
+        episode_length += 1
+        if max_step_size is not None and episode_length >= max_step_size:
+            break
+        # memory carries history; feed only the new observation
+        prime = np.concatenate([obs_tokens, sep])
+        prime_img = obs_img
+
+    return EpisodeResult(env.ds.name, float(episode_return), episode_length)
+
+
+def evaluate_env(
+    model,
+    params,
+    make_tokenized_env: Callable[[], TokenizedEnv],
+    *,
+    num_trials: int = 5,
+    seed: int = 100,
+    use_prompt: bool = True,
+    strict_length: bool = True,
+    minimal_expert_data: bool = False,
+    max_step_size: Optional[int] = None,
+) -> Dict[str, float]:
+    """Average return/length over trials (reference: evaluate_rl.py:413-449)."""
+    env = make_tokenized_env()
+    env.seed(seed)
+    rng = np.random.RandomState(seed)
+    decoder = build_decoder_for_env(model, params, env)
+    rets, lens = [], []
+    for _ in range(num_trials):
+        res = run_episode(
+            env, decoder, use_prompt=use_prompt, strict_length=strict_length,
+            minimal_expert_data=minimal_expert_data,
+            max_step_size=max_step_size, rng=rng)
+        rets.append(res.episode_return)
+        lens.append(res.episode_length)
+    return {
+        "env": env.ds.name,
+        "return_mean": float(np.mean(rets)),
+        "return_std": float(np.std(rets)),
+        "length_mean": float(np.mean(lens)),
+        "num_trials": num_trials,
+    }
+
+
+def shard_envs(env_names: Sequence[str],
+               process_index: Optional[int] = None,
+               process_count: Optional[int] = None) -> List[str]:
+    """Round-robin env sharding across hosts
+    (reference: evaluate_rl.py:452-466 chunks across world size)."""
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    return [e for i, e in enumerate(env_names) if i % pc == pi]
+
+
+def parallel_evaluate_envs(
+    model, params, env_names: Sequence[str],
+    make_tokenized_env: Callable[[str], TokenizedEnv], **kwargs
+) -> List[Dict[str, float]]:
+    """Evaluate this host's env shard; gather across hosts when distributed."""
+    local = [
+        evaluate_env(model, params, lambda n=name: make_tokenized_env(n),
+                     **kwargs)
+        for name in shard_envs(env_names)
+    ]
+    if jax.process_count() > 1:  # pragma: no cover (multi-host only)
+        from jax.experimental import multihost_utils
+
+        gathered = multihost_utils.process_allgather(local)
+        return [r for host in gathered for r in host]
+    return local
