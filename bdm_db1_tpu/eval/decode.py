@@ -56,14 +56,19 @@ class ActionDecoder:
             base = layout.continuous_action_logit_bias()
         self._base_bias = base
         self._num_actions = num_actions
+        # K/V-cache fast path (exact for post-LN, ~10x cheaper per token);
+        # pre-LN falls back to reference-style hidden-state memory.
+        self.use_kv_cache = not model.cfg.pre_lnorm and model.cfg.mem_len > 0
         self._jit_decode = jax.jit(
-            partial(_decode_step, model, self.action_length)
+            partial(_decode_step, model, self.action_length,
+                    self.use_kv_cache)
         )
 
     def init_mems(self, batch_size: int = 1):
+        method = (TransformerXL.init_kv_cache if self.use_kv_cache
+                  else TransformerXL.init_mems)
         return self.model.apply(
-            {"params": self.params}, batch_size,
-            method=TransformerXL.init_mems)
+            {"params": self.params}, batch_size, method=method)
 
     def bias_with_env_mask(self, env_action_mask) -> np.ndarray:
         """Fold an env-supplied 0/1 action mask into the base bias
@@ -99,11 +104,13 @@ class ActionDecoder:
         return np.asarray(act_tokens), new_mems
 
 
-def _decode_step(model, action_length, variables, tokens, pos, mems, bias,
-                 images):
+def _decode_step(model, action_length, use_kv_cache, variables, tokens, pos,
+                 mems, bias, images):
     """prime forward + scan over action dims, entirely on device."""
+    method = (TransformerXL.decode_rl_kv if use_kv_cache
+              else TransformerXL.decode_rl)
     logits, mems = model.apply(
-        variables, tokens, pos, mems, images, method=TransformerXL.decode_rl)
+        variables, tokens, pos, mems, images, method=method)
     tok0 = jnp.argmax(logits + bias[None, :], axis=-1).astype(jnp.int32)  # [1]
 
     zero_pos = jnp.zeros((1, 1), jnp.int32)
@@ -111,8 +118,7 @@ def _decode_step(model, action_length, variables, tokens, pos, mems, bias,
     def body(carry, _):
         tok, mems = carry
         lg, mems = model.apply(
-            variables, tok[:, None], zero_pos, mems,
-            method=TransformerXL.decode_rl)
+            variables, tok[:, None], zero_pos, mems, method=method)
         nxt = jnp.argmax(lg + bias[None, :], axis=-1).astype(jnp.int32)
         return (nxt, mems), nxt
 

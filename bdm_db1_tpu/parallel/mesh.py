@@ -1,0 +1,84 @@
+"""Device mesh + logical sharding rules (the real TP the reference stubs).
+
+The reference keeps Megatron-style TP/PP process-group bookkeeping but never
+implements parallel layers (reference: src/mpu/initialize.py:54-398, README
+"TP/PP were not applied"). Here parallelism is declarative: a
+("data", "model") mesh over ICI/DCN, flax logical axis names on every weight
+(see models/transformer_xl.py), and the rules below map them to mesh axes —
+XLA inserts the all-gathers/reduce-scatters.
+
+Axis placement:
+  * batch            -> data            (DP: gradient psum falls out of pjit)
+  * vocab            -> model           (tied embedding/LM head column-split;
+                                         logits reduce over ICI)
+  * qkv / heads/ mlp -> model           (Megatron-style column/row split)
+  * embed / head_dim -> replicated
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+from bdm_db1_tpu.core.config import MeshConfig
+
+# flax logical axis name -> mesh axis
+LOGICAL_AXIS_RULES: Tuple[Tuple[str, Optional[str]], ...] = (
+    ("batch", "data"),
+    ("length", None),
+    ("vocab", "model"),
+    ("embed", None),
+    ("qkv", "model"),
+    ("heads", "model"),
+    ("head_dim", None),
+    ("mlp", "model"),
+    ("layers", None),
+)
+
+
+def make_mesh(cfg: MeshConfig, devices: Optional[Sequence] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    tp = max(1, cfg.model_parallel)
+    dp = cfg.data_parallel if cfg.data_parallel > 0 else n // tp
+    assert dp * tp == n, f"mesh {dp}x{tp} != {n} devices"
+    try:
+        dev_array = mesh_utils.create_device_mesh((dp, tp), devices=devices)
+    except Exception:  # non-TPU topologies (CPU tests)
+        dev_array = np.asarray(devices).reshape(dp, tp)
+    return Mesh(dev_array, cfg.axis_names)
+
+
+def logical_to_sharding(logical_spec, mesh: Mesh) -> NamedSharding:
+    """Map a flax logical-axis tuple to a NamedSharding via the rules."""
+    rules = dict(LOGICAL_AXIS_RULES)
+    axes = tuple(
+        rules.get(name) if name is not None else None for name in logical_spec
+    )
+    return NamedSharding(mesh, PartitionSpec(*axes))
+
+
+def params_shardings(abstract_params, mesh: Mesh):
+    """Annotated (nn.with_logical_partitioning) abstract params ->
+    matching NamedSharding tree."""
+    import flax.linen as nn
+
+    logical = nn.get_partition_spec(abstract_params)
+    return jax.tree.map(
+        lambda spec: logical_to_sharding(spec, mesh),
+        logical,
+        is_leaf=lambda x: isinstance(x, PartitionSpec),
+    )
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Global batches shard along the data axis, replicate along model."""
+    return NamedSharding(mesh, PartitionSpec("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, PartitionSpec())

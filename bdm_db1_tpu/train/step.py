@@ -1,0 +1,185 @@
+"""Training state + jitted, sharded train step with gradient accumulation.
+
+Replaces the reference's DeepSpeed engine loop
+(reference: src/train_utils/train.py:210-243: python micro-batch loop +
+engine.backward/step with fp16 loss scaling) with one device program:
+
+* micro-batches stack on a leading accumulation axis and a ``lax.scan``
+  accumulates fp32 gradients on-device — no per-micro host round trips;
+* bf16 compute / fp32 master params, so no loss-scaling machinery at all
+  (the reference needs DeepSpeed's dynamic scaler only because of fp16);
+* DP gradient reduction is emitted by pjit from the batch sharding; TP
+  comes from the weight shardings (parallel/mesh.py) — the same step
+  function runs 1-chip or pod-slice unchanged.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+from bdm_db1_tpu.core.config import OptimizerConfig
+from bdm_db1_tpu.parallel.mesh import LOGICAL_AXIS_RULES, batch_sharding
+from bdm_db1_tpu.train.schedule import lr_schedule, wd_schedule
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+
+def _decay_mask(params):
+    """Weight decay on matrices only (biases/LayerNorm/embeddings-1d excluded)."""
+    return jax.tree.map(lambda p: jnp.ndim(p) >= 2, params)
+
+
+def make_optimizer(cfg: OptimizerConfig, train_iters: int) -> optax.GradientTransformation:
+    lr = lr_schedule(cfg, train_iters)
+    wd = wd_schedule(cfg, train_iters)
+    parts = []
+    if cfg.clip_grad and cfg.clip_grad > 0:
+        parts.append(optax.clip_by_global_norm(cfg.clip_grad))
+    if cfg.optimizer in ("adamw", "adam"):
+        parts.append(optax.scale_by_adam(
+            b1=cfg.adam_beta1, b2=cfg.adam_beta2, eps=cfg.adam_eps))
+    elif cfg.optimizer == "sgd":
+        pass  # plain (scaled) gradient
+    else:
+        raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+    if cfg.optimizer == "adamw" and cfg.weight_decay:
+        parts.append(optax.masked(
+            _ScheduledWeightDecay(wd), _decay_mask))
+    parts.append(_scale_by_schedule_neg(lr))
+    return optax.chain(*parts)
+
+
+def _scale_by_schedule_neg(sched) -> optax.GradientTransformation:
+    def init(params):
+        return optax.ScaleByScheduleState(count=jnp.zeros([], jnp.int32))
+
+    def update(updates, state, params=None):
+        s = sched(state.count)
+        updates = jax.tree.map(lambda u: -s * u, updates)
+        return updates, optax.ScaleByScheduleState(count=state.count + 1)
+
+    return optax.GradientTransformation(init, update)
+
+
+def _ScheduledWeightDecay(wd_sched) -> optax.GradientTransformation:
+    """Adds wd(step) * param to the (pre-LR) update, AdamW style."""
+
+    def init(params):
+        return optax.ScaleByScheduleState(count=jnp.zeros([], jnp.int32))
+
+    def update(updates, state, params):
+        w = wd_sched(state.count)
+        updates = jax.tree.map(lambda u, p: u + w * p, updates, params)
+        return updates, optax.ScaleByScheduleState(count=state.count + 1)
+
+    return optax.GradientTransformation(init, update)
+
+
+# ---------------------------------------------------------------------------
+
+
+def make_loss_fn(model) -> Callable:
+    def loss_fn(params, batch, rng):
+        d_rng, p_rng = jax.random.split(rng)
+        _, loss = model.apply(
+            {"params": params}, batch, compute_loss=True, deterministic=False,
+            rngs={"dropout": d_rng, "patch_pos": p_rng},
+        )
+        return loss
+
+    return loss_fn
+
+
+def make_train_step(model, tx: optax.GradientTransformation) -> Callable:
+    """Returns train_step(state, batch, rng) -> (state, metrics).
+
+    ``batch`` leaves carry a leading [accum, ...] axis; the scan accumulates
+    fp32 grads across micro-batches before one optimizer update."""
+    loss_fn = make_loss_fn(model)
+
+    def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
+        accum = jax.tree.leaves(batch)[0].shape[0]
+        rngs = jax.random.split(jax.random.fold_in(rng, state.step), accum)
+
+        grad_fn = jax.value_and_grad(loss_fn)
+
+        def body(carry, xs):
+            gsum, lsum = carry
+            mb, r = xs
+            loss, grads = grad_fn(state.params, mb, r)
+            gsum = jax.tree.map(
+                lambda a, g: a + g.astype(jnp.float32), gsum, grads)
+            return (gsum, lsum + loss), None
+
+        zeros = jax.tree.map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+        (gsum, lsum), _ = jax.lax.scan(
+            body, (zeros, jnp.zeros([], jnp.float32)), (batch, rngs))
+        grads = jax.tree.map(lambda g: g / accum, gsum)
+        loss = lsum / accum
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+            "step": state.step,
+        }
+        return state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state), metrics
+
+    return train_step
+
+
+# ---------------------------------------------------------------------------
+
+
+def init_train_state(model, tx, rng, example_batch) -> TrainState:
+    # example batches carry [accum, micro, ...] leaves; init on one micro
+    micro = jax.tree.map(lambda x: x[0], example_batch)
+    variables = model.init(rng, micro)
+    params = variables["params"]
+    return TrainState(
+        step=jnp.zeros([], jnp.int32), params=params,
+        opt_state=tx.init(params))
+
+
+def state_shardings(model, tx, rng, example_batch, mesh: Mesh):
+    """Abstract-init the state and map logical axis metadata to NamedShardings."""
+    abstract = jax.eval_shape(
+        partial(init_train_state, model, tx, rng), example_batch)
+    logical = nn.get_partition_spec(abstract)
+    return nn.logical_to_mesh_sharding(logical, mesh, list(LOGICAL_AXIS_RULES))
+
+
+def make_sharded_train_step(model, tx, rng, example_batch, mesh: Mesh):
+    """(init_fn, step_fn) jitted with parameter/batch shardings over the mesh.
+
+    The example batch (and every later batch) carries [accum, micro, ...]
+    leaves; micro shards over the "data" axis."""
+    shardings = state_shardings(model, tx, rng, example_batch, mesh)
+    bspec = jax.tree.map(
+        lambda _: NamedSharding(mesh, PartitionSpec(None, "data")),
+        example_batch)
+    init_fn = jax.jit(
+        partial(init_train_state, model, tx, rng),
+        out_shardings=shardings)
+    step_fn = jax.jit(
+        make_train_step(model, tx),
+        in_shardings=(shardings, bspec, None),
+        out_shardings=(shardings, None),
+        donate_argnums=(0,),
+    )
+    return init_fn, step_fn

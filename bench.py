@@ -1,0 +1,137 @@
+"""Headline benchmark: RL-eval decode throughput (actions/sec) of the 1.2B
+flagship on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Setup mirrors the reference's primary workload
+(reference: scripts/evaluate/evaluate_rl_1.2B.sh + evaluate_rl.py): a
+HalfCheetah-geometry env (obs 17 tokens + separator + 6 continuous action
+dims), expert prompt prepended, greedy decode with the TransformerXL segment
+memory carried on device. One ``ActionDecoder.decode`` call = one env step =
+1 prime forward + 6 token forwards, all fused in a single device program.
+
+``vs_baseline``: the reference publishes no throughput numbers
+(BASELINE.json published: {}), so the denominator is an engineering estimate
+of the A100 DeepSpeed eval loop: 7 unfused fp16 forwards/action incl. the
+documented host<->device round trip per token (reference:
+evaluate_rl.py:177-258) ~= 10 actions/sec. Treat vs_baseline as indicative
+until the converted checkpoint enables a measured A100 comparison.
+
+Usage: python bench.py [--smoke] [--steps N]
+  --smoke: tiny model on CPU (CI sanity), not a perf claim.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+A100_BASELINE_ACTIONS_PER_SEC = 10.0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--warmup", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.smoke:
+        import os
+
+        os.environ.setdefault(
+            "XLA_FLAGS", "--xla_force_host_platform_device_count=1")
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
+    import jax.numpy as jnp
+
+    from bdm_db1_tpu.core.config import db1_1p2b, db1_tiny
+    from bdm_db1_tpu.data.input_specs import RLTaskBatch
+    from bdm_db1_tpu.data.rl_dataset import (
+        RLFullDataset, RLTokenizerSuite, TrajectoryStore,
+    )
+    from bdm_db1_tpu.eval.decode import build_decoder_for_env
+    from bdm_db1_tpu.eval.envs import FakeContinuousEnv
+    from bdm_db1_tpu.eval.harness import run_episode
+    from bdm_db1_tpu.eval.wrapper import TokenizedEnv
+    from bdm_db1_tpu.models.transformer_xl import TransformerXL
+    from bdm_db1_tpu.tokenizers.scalar import ScalarTokenizer
+    from bdm_db1_tpu.tokenizers.text import ByteTextTokenizer
+
+    if args.smoke:
+        cfg = db1_tiny()
+        cfg.model.dtype = "float32"
+        obs_dim, act_dim = 4, 2
+        episode_len = max(args.steps, 4)
+    else:
+        cfg = db1_1p2b()
+        cfg.model.param_dtype = "bfloat16"
+        obs_dim, act_dim = 17, 6  # HalfCheetah geometry (BASELINE config #1)
+        episode_len = args.warmup + args.steps
+
+    layout = cfg.vocab.layout()
+    suite = RLTokenizerSuite(
+        layout, ScalarTokenizer(cfg.vocab.num_continuous_bin),
+        ByteTextTokenizer(), vision_patch_size=cfg.vision.patch_size)
+    env = FakeContinuousEnv(obs_dim=obs_dim, act_dim=act_dim,
+                            episode_len=episode_len)
+    store = TrajectoryStore.from_flat_dataset(env.make_dataset(3))
+    ds = RLFullDataset("halfcheetah-geometry", store, suite,
+                       seq_length=cfg.model.n_position, use_prompt=True,
+                       seed=0)
+    tenv = TokenizedEnv(env, ds)
+
+    model = TransformerXL(cfg.model, cfg.vocab, cfg.vision)
+    L = cfg.model.n_position
+    tok = jnp.zeros((1, L), jnp.int32)
+    init_batch = {"rl": RLTaskBatch(tokens=tok, position_id=tok,
+                                    loss_mask=tok, label=tok)}
+    params = model.init(jax.random.PRNGKey(0), init_batch)["params"]
+    decoder = build_decoder_for_env(model, params, tenv)
+
+    # -- drive one episode manually so we can time steady-state steps ------
+    sep = np.array([tenv.separator_id], dtype=np.int64)
+    prompt, _ = tenv.get_prompt(strict_length=True,
+                                rng=np.random.RandomState(0))
+    obs_tokens, _, mask = tenv.reset()
+    prime = np.concatenate([prompt, obs_tokens, sep])
+    mems = decoder.init_mems(1)
+
+    times = []
+    done = False
+    step_i = 0
+    while not done and step_i < episode_len:
+        t0 = time.perf_counter()
+        act_tokens, mems = decoder.decode(prime, mems, env_action_mask=mask)
+        act_tokens = np.asarray(act_tokens)  # block on device
+        dt = time.perf_counter() - t0
+        action = tenv.tok.decode_action(act_tokens, tenv.discrete_action)
+        obs_tokens, _, mask, _, done, _ = tenv.step(action)
+        prime = np.concatenate([obs_tokens, sep])
+        if step_i >= args.warmup:
+            times.append(dt)
+        step_i += 1
+
+    mean_dt = float(np.mean(times))
+    actions_per_sec = 1.0 / mean_dt
+    print(json.dumps({
+        "metric": "rl_eval_actions_per_sec_1p2b"
+        if not args.smoke else "rl_eval_actions_per_sec_smoke",
+        "value": round(actions_per_sec, 3),
+        "unit": "actions/sec",
+        "vs_baseline": round(
+            actions_per_sec / A100_BASELINE_ACTIONS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

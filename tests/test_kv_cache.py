@@ -1,0 +1,60 @@
+"""KV-cache decode must match the reference-style hidden-state-memory decode
+bit-for-bit (post-LN): K/V are per-position projections of the cached
+hiddens, so caching them directly is a pure optimization."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bdm_db1_tpu.core.config import db1_tiny
+from bdm_db1_tpu.data.input_specs import RLTaskBatch
+from bdm_db1_tpu.models.transformer_xl import TransformerXL
+
+
+def test_kv_cache_matches_hidden_mems():
+    cfg = db1_tiny()
+    cfg.model.dtype = "float32"
+    model = TransformerXL(cfg.model, cfg.vocab, cfg.vision)
+    layout = cfg.vocab.layout()
+    L = cfg.model.n_position
+    tok0 = jnp.zeros((1, L), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), {"rl": RLTaskBatch(
+        tokens=tok0, position_id=tok0, loss_mask=tok0, label=tok0)})["params"]
+
+    mems = model.apply({"params": params}, 1, method=TransformerXL.init_mems)
+    cache = model.apply({"params": params}, 1,
+                        method=TransformerXL.init_kv_cache)
+
+    rng = np.random.RandomState(0)
+    for qlen in (9, 1, 1, 4, 1, 1):
+        tokens = jnp.asarray(
+            rng.randint(0, layout.total_vocab_size, (1, qlen)), jnp.int32)
+        pos = jnp.asarray(rng.randint(0, 8, (1, qlen)), jnp.int32)
+        lg_ref, mems = model.apply(
+            {"params": params}, tokens, pos, mems,
+            method=TransformerXL.decode_rl)
+        lg_kv, cache = model.apply(
+            {"params": params}, tokens, pos, cache,
+            method=TransformerXL.decode_rl_kv)
+        np.testing.assert_allclose(
+            np.asarray(lg_kv), np.asarray(lg_ref), rtol=1e-5, atol=1e-5)
+
+
+def test_kv_cache_shapes_and_slide():
+    cfg = db1_tiny()
+    cfg.model.dtype = "float32"
+    model = TransformerXL(cfg.model, cfg.vocab, cfg.vision)
+    tok0 = jnp.zeros((1, cfg.model.n_position), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), {"rl": RLTaskBatch(
+        tokens=tok0, position_id=tok0, loss_mask=tok0, label=tok0)})["params"]
+    cache = model.apply({"params": params}, 2,
+                        method=TransformerXL.init_kv_cache)
+    m = cfg.model
+    assert cache["k"].shape == (m.n_layer, 2, m.mem_len, m.n_head, m.d_head)
+    tokens = jnp.ones((2, 5), jnp.int32)
+    pos = jnp.zeros((2, 5), jnp.int32)
+    _, cache2 = model.apply({"params": params}, tokens, pos, cache,
+                            method=TransformerXL.decode_rl_kv)
+    assert cache2["k"].shape == cache["k"].shape
+    # the new tokens' K entered the cache tail
+    assert not np.allclose(np.asarray(cache2["k"][:, :, -5:]), 0.0)

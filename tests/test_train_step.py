@@ -1,0 +1,109 @@
+"""Sharded training-step tests on the 8-virtual-device CPU mesh: DP+TP
+shardings compile and execute, loss decreases, schedules behave."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bdm_db1_tpu.core.config import OptimizerConfig, db1_tiny
+from bdm_db1_tpu.core.vocab import VocabLayout
+from bdm_db1_tpu.data.input_specs import NLPTaskBatch
+from bdm_db1_tpu.models.transformer_xl import TransformerXL
+from bdm_db1_tpu.parallel.mesh import make_mesh
+from bdm_db1_tpu.train.schedule import lr_schedule
+from bdm_db1_tpu.train.step import (
+    init_train_state,
+    make_optimizer,
+    make_sharded_train_step,
+    make_train_step,
+)
+
+
+def _tiny_batch(layout: VocabLayout, accum=2, micro=4, L=64, seed=0):
+    rng = np.random.RandomState(seed)
+    toks = rng.randint(1, layout.total_vocab_size, (accum, micro, L))
+    # learnable pattern: constant sequences
+    toks[..., :] = toks[..., :1]
+    return {"nlp": NLPTaskBatch(
+        tokens=jnp.asarray(toks, jnp.int32),
+        loss_mask=jnp.ones((accum, micro, L), jnp.float32),
+        label=jnp.asarray(toks, jnp.int32))}
+
+
+def test_lr_schedule_shapes():
+    cfg = OptimizerConfig(lr=1e-3, min_lr=1e-4, lr_warmup_iters=10,
+                          lr_decay_style="cosine")
+    s = lr_schedule(cfg, 100)
+    assert float(s(0)) == 0.0
+    assert abs(float(s(5)) - 5e-4) < 1e-9          # linear warmup
+    assert abs(float(s(10)) - 1e-3) < 1e-9
+    assert abs(float(s(100)) - 1e-4) < 1e-9        # decayed to min
+    mid = float(s(55))
+    assert 1e-4 < mid < 1e-3
+
+
+def test_single_device_train_step_loss_decreases():
+    cfg = db1_tiny()
+    cfg.model.dtype = "float32"
+    model = TransformerXL(cfg.model, cfg.vocab, cfg.vision)
+    layout = cfg.vocab.layout()
+    batch = _tiny_batch(layout)
+    tx = make_optimizer(OptimizerConfig(lr=1e-2, lr_decay_style="constant",
+                                        clip_grad=1.0), 100)
+    state = init_train_state(model, tx, jax.random.PRNGKey(0), batch)
+    step = jax.jit(make_train_step(model, tx))
+    losses = []
+    rng = jax.random.PRNGKey(1)
+    for i in range(8):
+        state, m = step(state, batch, rng)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.7, losses
+    assert int(state.step) == 8
+
+
+@pytest.mark.parametrize("tp", [1, 2])
+def test_sharded_train_step_dp_tp(tp):
+    cfg = db1_tiny()
+    cfg.model.dtype = "float32"
+    cfg.mesh.model_parallel = tp
+    mesh = make_mesh(cfg.mesh)
+    assert mesh.devices.size == 8
+
+    model = TransformerXL(cfg.model, cfg.vocab, cfg.vision)
+    layout = cfg.vocab.layout()
+    batch = _tiny_batch(layout, accum=2, micro=8)
+    tx = make_optimizer(OptimizerConfig(lr=1e-2), 100)
+    init_fn, step_fn = make_sharded_train_step(
+        model, tx, jax.random.PRNGKey(0), batch, mesh)
+    state = init_fn(batch)
+    state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    # TP actually shards the qkv kernel over the model axis
+    qkv = state.params["layers"]["attn"]["qkv_net"]["kernel"]
+    qkv_val = qkv.value if hasattr(qkv, "value") else qkv
+    if tp > 1:
+        spec = tuple(qkv_val.sharding.spec)
+        assert "model" in spec, spec
+
+
+def test_dp_tp_losses_agree():
+    """The same step on (8,1) and (4,2) meshes gives the same loss."""
+    cfg = db1_tiny()
+    cfg.model.dtype = "float32"
+    model = TransformerXL(cfg.model, cfg.vocab, cfg.vision)
+    layout = cfg.vocab.layout()
+    batch = _tiny_batch(layout, accum=1, micro=8)
+    tx = make_optimizer(
+        OptimizerConfig(lr=1e-2, lr_decay_style="constant"), 100)
+
+    losses = {}
+    for tp in (1, 2):
+        cfg.mesh.model_parallel = tp
+        mesh = make_mesh(cfg.mesh)
+        init_fn, step_fn = make_sharded_train_step(
+            model, tx, jax.random.PRNGKey(0), batch, mesh)
+        state = init_fn(batch)
+        _, m1 = step_fn(state, batch, jax.random.PRNGKey(1))
+        losses[tp] = float(m1["loss"])
+    assert abs(losses[1] - losses[2]) < 1e-3, losses
