@@ -587,6 +587,109 @@ class RLFullDataset:
         }
 
 
+class RLDataset:
+    """Subset view over an RLFullDataset's sample indices (used for
+    train/valid/test document-style splits,
+    reference: src/data/rl_dataset.py:892-924)."""
+
+    def __init__(self, full: RLFullDataset, indices: np.ndarray):
+        self.full = full
+        self.indices = np.asarray(indices)
+        assert len(self.indices) == 0 or (
+            self.indices.max() < len(full) and self.indices.min() >= 0)
+
+    @property
+    def name(self) -> str:
+        return self.full.name
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        item = self.full.get(int(self.indices[idx % len(self.indices)]))
+        item["modality"] = "rl"
+        return item
+
+
+class RLFinetuneDataset:
+    """Few-shot view: samples drawn from only the first ``num_shots``
+    trajectories (reference: src/data/rl_dataset.py:927-971)."""
+
+    def __init__(self, full: RLFullDataset, num_shots: int):
+        self.full = full
+        paths = np.asarray(full.indices[:, 0])
+        self.indices = np.nonzero(paths < num_shots)[0]
+        assert len(self.indices) > 0, "no samples within the shot budget"
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        item = self.full.get(int(self.indices[idx % len(self.indices)]))
+        item["modality"] = "rl"
+        return item
+
+
+def split_rl_dataset(full: RLFullDataset, splits_string: str = "90,5,5",
+                     seed: int = 1234):
+    """Shuffle sample indices once, split into train/valid/test views."""
+    from bdm_db1_tpu.data.dataset_utils import get_train_valid_test_split_
+
+    n = len(full)
+    rng = np.random.RandomState(seed)
+    perm = rng.permutation(n)
+    cuts = get_train_valid_test_split_(splits_string, n)
+    out = []
+    for i in range(3):
+        sel = perm[cuts[i]: cuts[i + 1]]
+        out.append(RLDataset(full, sel) if len(sel) else None)
+    return tuple(out)
+
+
+def make_rl_creator(tokenizer: RLTokenizerSuite, cache_dir: str,
+                    suite_envs: Optional[Callable[[str], List[str]]] = None,
+                    **ds_kwargs):
+    """Dataset-factory creators for types 'rl' and 'rl_task_suite'
+    (reference: dataset_utils.py DATASET_CREATORS {rl, rl_task_suite}).
+
+    'rl': prefix = env name, loaded from the trajectory cache dir.
+    'rl_task_suite': prefix = suite name; ``suite_envs(suite)`` lists env
+    names (default: importlib d4rl.{suite}.ALL_ENVS like the reference)."""
+
+    def rl_creator(prefix, splits_string, seq_length, num_samples, seed,
+                   **_ctx):
+        full = build_rl_dataset_from_cache(
+            prefix, cache_dir, seq_length, tokenizer, seed=seed, **ds_kwargs)
+        return split_rl_dataset(full, splits_string, seed)
+
+    def suite_creator(prefix, splits_string, seq_length, num_samples, seed,
+                      **_ctx):
+        if suite_envs is not None:
+            envs = suite_envs(prefix)
+        else:  # pragma: no cover — needs d4rl installed
+            import importlib
+
+            envs = importlib.import_module(f"d4rl.{prefix}").ALL_ENVS
+        from bdm_db1_tpu.data.blendable import BlendableDataset
+
+        parts = [rl_creator(e, splits_string, seq_length, num_samples, seed)
+                 for e in envs]
+        out = []
+        for i in range(3):
+            live = [p[i] for p in parts if p[i] is not None]
+            if not live:
+                out.append(None)
+            elif len(live) == 1:
+                out.append(live[0])
+            else:
+                out.append(BlendableDataset(
+                    live, [1.0] * len(live), mode="index",
+                    size=sum(len(d) for d in live), seed=seed))
+        return tuple(out)
+
+    return rl_creator, suite_creator
+
+
 def build_rl_dataset_from_cache(
     env_name: str,
     cache_dir: str,

@@ -71,63 +71,84 @@ class ActionDecoder:
             {"params": self.params}, batch_size, method=method)
 
     def bias_with_env_mask(self, env_action_mask) -> np.ndarray:
-        """Fold an env-supplied 0/1 action mask into the base bias
-        (reference: evaluate_rl.py:119-123)."""
+        """Fold an env-supplied 0/1 action mask ([n] or [B, n]) into the base
+        bias (reference: evaluate_rl.py:119-123)."""
         bias = self._base_bias
         if env_action_mask is not None and self.discrete_action:
-            bias = bias.copy()
-            extra = np.abs(np.asarray(env_action_mask, np.float32) - 1) * 1e10
+            m = np.asarray(env_action_mask, np.float32)
+            extra = np.abs(m - 1) * 1e10
             lo = self.layout.discrete_offset
-            bias[lo: lo + self._num_actions] -= extra
+            hi = lo + self._num_actions
+            if m.ndim == 1:
+                bias = bias.copy()
+                bias[lo:hi] -= extra
+            else:
+                bias = np.broadcast_to(
+                    bias, (m.shape[0],) + bias.shape).copy()
+                bias[:, lo:hi] -= extra
         return bias
 
     def decode(
         self,
-        prime_tokens: np.ndarray,      # [q] int
-        mems,                          # [n_layer, 1, mem_len, D]
-        prime_images: Optional[np.ndarray] = None,  # [T, H, W, C]
+        prime_tokens: np.ndarray,      # [q] or [B, q] int
+        mems,                          # [n_layer, B, mem_len, ...]
+        prime_images: Optional[np.ndarray] = None,  # [(B,) T, H, W, C]
         env_action_mask=None,
     ) -> Tuple[np.ndarray, object]:
-        """Greedy-decode one action; returns (action token ids [action_length],
-        new mems). The prime sequence must start at a transition boundary."""
+        """Greedy-decode one action per batch row; returns (action token ids
+        [action_length] or [B, action_length], new mems). Prime sequences
+        must start at a transition boundary. Batched rows amortize the
+        host<->device round trip across environments (the reference decodes
+        one env per process, evaluate_rl.py:452-466)."""
+        single = prime_tokens.ndim == 1
+        if single:
+            prime_tokens = prime_tokens[None]
+            if prime_images is not None:
+                prime_images = prime_images[None]
+        b, q = prime_tokens.shape
         _, pos = action_flags_and_position_ids(
-            len(prime_tokens), self.obs_length, self.action_length, 0)
-        bias = jnp.asarray(self.bias_with_env_mask(env_action_mask))
-        tokens = jnp.asarray(prime_tokens, jnp.int32)[None]
-        pos = jnp.asarray(pos, jnp.int32)[None]
-        images = (
-            jnp.asarray(prime_images, jnp.float32)[None]
-            if prime_images is not None else None
-        )
+            q, self.obs_length, self.action_length, 0)
+        bias = self.bias_with_env_mask(env_action_mask)
+        if bias.ndim == 1:
+            bias = np.broadcast_to(bias, (b,) + bias.shape)
+        tokens = jnp.asarray(prime_tokens, jnp.int32)
+        pos = jnp.broadcast_to(jnp.asarray(pos, jnp.int32)[None], (b, q))
+        images = (jnp.asarray(prime_images, jnp.float32)
+                  if prime_images is not None else None)
         act_tokens, new_mems = self._jit_decode(
-            {"params": self.params}, tokens, pos, mems, bias, images)
-        return np.asarray(act_tokens), new_mems
+            {"params": self.params}, tokens, pos, mems,
+            jnp.asarray(bias), images)
+        act_tokens = np.asarray(act_tokens)
+        return (act_tokens[0] if single else act_tokens), new_mems
 
 
 def _decode_step(model, action_length, use_kv_cache, variables, tokens, pos,
                  mems, bias, images):
-    """prime forward + scan over action dims, entirely on device."""
+    """prime forward + scan over action dims, entirely on device.
+
+    tokens/pos: [B, q]; bias: [B, V]; returns ([B, action_length], mems)."""
     method = (TransformerXL.decode_rl_kv if use_kv_cache
               else TransformerXL.decode_rl)
+    b = tokens.shape[0]
     logits, mems = model.apply(
         variables, tokens, pos, mems, images, method=method)
-    tok0 = jnp.argmax(logits + bias[None, :], axis=-1).astype(jnp.int32)  # [1]
+    tok0 = jnp.argmax(logits + bias, axis=-1).astype(jnp.int32)  # [B]
 
-    zero_pos = jnp.zeros((1, 1), jnp.int32)
+    zero_pos = jnp.zeros((b, 1), jnp.int32)
 
     def body(carry, _):
         tok, mems = carry
         lg, mems = model.apply(
             variables, tok[:, None], zero_pos, mems, method=method)
-        nxt = jnp.argmax(lg + bias[None, :], axis=-1).astype(jnp.int32)
+        nxt = jnp.argmax(lg + bias, axis=-1).astype(jnp.int32)
         return (nxt, mems), nxt
 
     (_, mems), rest = jax.lax.scan(
         body, (tok0, mems), None, length=action_length)
     # rest[i] is the token decoded after feeding token i; the last one is a
     # throwaway (the feed exists purely to fold token n-1 into the memory)
-    act = jnp.concatenate([tok0[None], rest[:-1, :]], axis=0)[:, 0]
-    return act, mems
+    act = jnp.concatenate([tok0[None], rest[:-1]], axis=0)  # [n, B]
+    return act.T, mems
 
 
 def build_decoder_for_env(model, params, tokenized_env) -> ActionDecoder:

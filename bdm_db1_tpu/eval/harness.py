@@ -114,6 +114,78 @@ def evaluate_env(
     }
 
 
+def run_batched_episodes(
+    envs: List[TokenizedEnv],
+    decoder: ActionDecoder,
+    *,
+    use_prompt: bool = True,
+    strict_length: bool = True,
+    minimal_expert_data: bool = False,
+    max_step_size: Optional[int] = None,
+    rng: Optional[np.random.RandomState] = None,
+) -> List[EpisodeResult]:
+    """Run B same-geometry environments in lockstep: one device call decodes
+    all B actions per step (amortizes the host<->device round trip the
+    reference pays per env, evaluate_rl.py:177-258). Finished envs keep
+    stepping with ignored rewards until the whole batch is done."""
+    b = len(envs)
+    sep = np.array([envs[0].separator_id], dtype=np.int64)
+    rng = rng or np.random.RandomState(0)
+
+    def reset_one(env):
+        obs, img, mask = env.reset()
+        if use_prompt:
+            prompt, pimg = env.get_prompt(
+                strict_length=strict_length,
+                minimal_expert_data=minimal_expert_data, rng=rng)
+            prime = np.concatenate([prompt, obs, sep])
+            imgs = None
+            if pimg is not None or img is not None:
+                imgs = np.concatenate(
+                    [p for p in (pimg, img) if p is not None], axis=0)
+            return prime, imgs, mask
+        return np.concatenate([obs, sep]), img, mask
+
+    primes, imgs, masks = zip(*[reset_one(e) for e in envs])
+    prime = np.stack(primes)
+    prime_img = np.stack(imgs) if imgs[0] is not None else None
+    action_mask = (np.stack(masks) if masks[0] is not None else None)
+
+    mems = decoder.init_mems(b)
+    returns = np.zeros(b)
+    lengths = np.zeros(b, dtype=np.int64)
+    done = np.zeros(b, dtype=bool)
+    steps = 0
+
+    while not done.all():
+        act_tokens, mems = decoder.decode(
+            prime, mems, prime_images=prime_img,
+            env_action_mask=action_mask)
+        next_tokens, next_imgs, next_masks = [], [], []
+        for i, env in enumerate(envs):
+            action = env.tok.decode_action(
+                act_tokens[i], env.discrete_action)
+            obs, img, mask, reward, d, _ = env.step(action)
+            if not done[i]:
+                returns[i] += reward
+                lengths[i] += 1
+                done[i] = d
+            next_tokens.append(np.concatenate([obs, sep]))
+            next_imgs.append(img)
+            next_masks.append(mask)
+        steps += 1
+        if max_step_size is not None and steps >= max_step_size:
+            break
+        prime = np.stack(next_tokens)
+        prime_img = (np.stack(next_imgs)
+                     if next_imgs[0] is not None else None)
+        action_mask = (np.stack(next_masks)
+                       if next_masks[0] is not None else None)
+
+    return [EpisodeResult(envs[i].ds.name, float(returns[i]),
+                          int(lengths[i])) for i in range(b)]
+
+
 def shard_envs(env_names: Sequence[str],
                process_index: Optional[int] = None,
                process_count: Optional[int] = None) -> List[str]:

@@ -1,0 +1,138 @@
+"""Training driver: the loop the reference references but never shipped.
+
+Counterpart of the reference train loop
+(reference: src/train_utils/train.py:32-243 — which has no runnable
+``main``; SURVEY.md §2.9) plus the missing pretrain driver. Responsibilities:
+iterate the stratified loader, run the sharded train step, log scalars,
+periodically evaluate (valid loss per modality + RL episode rollouts), and
+checkpoint with auto-resume.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bdm_db1_tpu.core.config import DB1Config
+from bdm_db1_tpu.core.logging import MetricLogger, print_rank_0
+from bdm_db1_tpu.data.input_specs import (
+    ICTaskBatch,
+    NLPTaskBatch,
+    RLTaskBatch,
+    VQATaskBatch,
+)
+from bdm_db1_tpu.train.checkpoint import CheckpointManager
+
+_BATCH_TYPES = {
+    "rl": RLTaskBatch, "nlp": NLPTaskBatch, "ic": ICTaskBatch,
+    "vqa": VQATaskBatch,
+}
+
+
+def to_gato_batch(raw: Dict[str, Dict[str, np.ndarray]]) -> Dict[str, object]:
+    """Loader output {modality: {field: array}} -> typed device batch."""
+    out = {}
+    for m, fields in raw.items():
+        cls = _BATCH_TYPES[m]
+        out[m] = cls(**{k: jnp.asarray(v) for k, v in fields.items()})
+    return out
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: DB1Config,
+        model,
+        step_fn: Callable,
+        state,
+        loader: Iterable,
+        *,
+        eval_fn: Optional[Callable] = None,
+        logger: Optional[MetricLogger] = None,
+    ):
+        self.cfg = cfg
+        self.model = model
+        self.step_fn = step_fn
+        self.state = state
+        self.loader = loader
+        self.eval_fn = eval_fn
+        self.logger = logger or MetricLogger(cfg.train.save_dir)
+        self.ckpt = (CheckpointManager(cfg.train.save_dir)
+                     if cfg.train.save_dir else None)
+
+    def maybe_resume(self) -> int:
+        if self.ckpt is None:
+            return 0
+        restored, client = self.ckpt.restore(self.state)
+        if restored is None:
+            return 0
+        self.state = restored
+        it = int(client["iteration"]) if client else int(restored.step)
+        print_rank_0(f"resumed from checkpoint at iteration {it}")
+        return it
+
+    def train(self) -> None:
+        tcfg = self.cfg.train
+        iteration = self.maybe_resume()
+        rng = jax.random.PRNGKey(tcfg.seed)
+        data_iter = iter(self.loader)
+        tokens_per_batch = None
+        t_window = time.perf_counter()
+        window_iters = 0
+
+        while iteration < tcfg.train_iters:
+            raw = next(data_iter)
+            batch = to_gato_batch(raw)
+            if tokens_per_batch is None:
+                tokens_per_batch = sum(
+                    int(np.prod(v.tokens.shape))
+                    for v in batch.values() if hasattr(v, "tokens"))
+            self.state, metrics = self.step_fn(self.state, batch, rng)
+            iteration += 1
+            window_iters += 1
+
+            if iteration % tcfg.log_interval == 0:
+                loss = float(metrics["loss"])
+                dt = time.perf_counter() - t_window
+                tps = tokens_per_batch * window_iters / max(dt, 1e-9)
+                self.logger.log(iteration, {
+                    "loss": loss,
+                    "grad_norm": float(metrics["grad_norm"]),
+                    "tokens_per_sec": tps,
+                }, prefix="train/")
+                print_rank_0(
+                    f"iter {iteration} | loss {loss:.4f} | "
+                    f"{tps:,.0f} tok/s")
+                t_window = time.perf_counter()
+                window_iters = 0
+
+            if self.eval_fn and iteration % tcfg.eval_interval == 0:
+                eval_metrics = self.eval_fn(self.state, iteration)
+                if eval_metrics:
+                    self.logger.log(iteration, eval_metrics, prefix="valid/")
+
+            if self.ckpt and iteration % tcfg.save_interval == 0:
+                self.ckpt.save(iteration, self.state,
+                               client_state={"iteration": iteration})
+
+        if self.ckpt:
+            self.ckpt.save(tcfg.train_iters, self.state,
+                           client_state={"iteration": tcfg.train_iters})
+            self.ckpt.wait()
+        self.logger.close()
+
+
+def evaluate_loss(model, state, batches, valid_vocab=None) -> float:
+    """Mean masked CE over held-out batches (reference: train.py
+    evaluate_and_print_results valid-loss path)."""
+    losses = []
+    for raw in batches:
+        batch = to_gato_batch(raw)
+        _, loss = model.apply({"params": state.params}, batch,
+                              compute_loss=True, deterministic=True)
+        losses.append(float(loss))
+    return float(np.mean(losses)) if losses else float("nan")

@@ -38,6 +38,9 @@ def main() -> None:
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--batch", type=int, default=16,
+                    help="envs decoded per device call (lockstep batch; "
+                         "16 fits the 1.2B KV cache in one v5e chip's HBM)")
     args = ap.parse_args()
 
     import jax
@@ -78,17 +81,22 @@ def main() -> None:
         obs_dim, act_dim = 17, 6  # HalfCheetah geometry (BASELINE config #1)
         episode_len = args.warmup + args.steps
 
+    B = max(1, args.batch if not args.smoke else 2)
     layout = cfg.vocab.layout()
     suite = RLTokenizerSuite(
         layout, ScalarTokenizer(cfg.vocab.num_continuous_bin),
         ByteTextTokenizer(), vision_patch_size=cfg.vision.patch_size)
-    env = FakeContinuousEnv(obs_dim=obs_dim, act_dim=act_dim,
-                            episode_len=episode_len)
-    store = TrajectoryStore.from_flat_dataset(env.make_dataset(3))
+    base_env = FakeContinuousEnv(obs_dim=obs_dim, act_dim=act_dim,
+                                 episode_len=episode_len)
+    store = TrajectoryStore.from_flat_dataset(base_env.make_dataset(3))
     ds = RLFullDataset("halfcheetah-geometry", store, suite,
                        seq_length=cfg.model.n_position, use_prompt=True,
                        seed=0)
-    tenv = TokenizedEnv(env, ds)
+    tenvs = [
+        TokenizedEnv(FakeContinuousEnv(obs_dim=obs_dim, act_dim=act_dim,
+                                       episode_len=episode_len, seed=i), ds)
+        for i in range(B)
+    ]
 
     model = TransformerXL(cfg.model, cfg.vocab, cfg.vision)
     L = cfg.model.n_position
@@ -96,33 +104,36 @@ def main() -> None:
     init_batch = {"rl": RLTaskBatch(tokens=tok, position_id=tok,
                                     loss_mask=tok, label=tok)}
     params = model.init(jax.random.PRNGKey(0), init_batch)["params"]
-    decoder = build_decoder_for_env(model, params, tenv)
+    decoder = build_decoder_for_env(model, params, tenvs[0])
 
-    # -- drive one episode manually so we can time steady-state steps ------
-    sep = np.array([tenv.separator_id], dtype=np.int64)
-    prompt, _ = tenv.get_prompt(strict_length=True,
-                                rng=np.random.RandomState(0))
-    obs_tokens, _, mask = tenv.reset()
-    prime = np.concatenate([prompt, obs_tokens, sep])
-    mems = decoder.init_mems(1)
+    # -- drive B lockstep envs manually so we can time steady-state steps --
+    rng = np.random.RandomState(0)
+    sep = np.array([tenvs[0].separator_id], dtype=np.int64)
+    primes = []
+    for te in tenvs:
+        prompt, _ = te.get_prompt(strict_length=True, rng=rng)
+        obs_tokens, _, _ = te.reset()
+        primes.append(np.concatenate([prompt, obs_tokens, sep]))
+    prime = np.stack(primes)
+    mems = decoder.init_mems(B)
 
     times = []
-    done = False
-    step_i = 0
-    while not done and step_i < episode_len:
+    for step_i in range(episode_len):
         t0 = time.perf_counter()
-        act_tokens, mems = decoder.decode(prime, mems, env_action_mask=mask)
+        act_tokens, mems = decoder.decode(prime, mems)
         act_tokens = np.asarray(act_tokens)  # block on device
         dt = time.perf_counter() - t0
-        action = tenv.tok.decode_action(act_tokens, tenv.discrete_action)
-        obs_tokens, _, mask, _, done, _ = tenv.step(action)
-        prime = np.concatenate([obs_tokens, sep])
+        nxt = []
+        for i, te in enumerate(tenvs):
+            action = te.tok.decode_action(act_tokens[i], te.discrete_action)
+            obs_tokens, _, _, _, _, _ = te.step(action)
+            nxt.append(np.concatenate([obs_tokens, sep]))
+        prime = np.stack(nxt)
         if step_i >= args.warmup:
             times.append(dt)
-        step_i += 1
 
     mean_dt = float(np.mean(times))
-    actions_per_sec = 1.0 / mean_dt
+    actions_per_sec = B / mean_dt
     print(json.dumps({
         "metric": "rl_eval_actions_per_sec_1p2b"
         if not args.smoke else "rl_eval_actions_per_sec_smoke",

@@ -1,0 +1,205 @@
+"""Data-layer tests: indexed datasets (format roundtrip, partial reads),
+GPT packing maps, blendable mixture, samplers, prefetch loader, native
+helpers vs numpy fallbacks."""
+
+import numpy as np
+import pytest
+
+from bdm_db1_tpu.data import native
+from bdm_db1_tpu.data.blendable import BlendableDataset
+from bdm_db1_tpu.data.gpt_dataset import GPTDataset
+from bdm_db1_tpu.data.indexed_dataset import (
+    IndexedCachedDataset,
+    IndexedDataset,
+    IndexedDatasetBuilder,
+    MMapIndexedDataset,
+    MMapIndexedDatasetBuilder,
+    make_builder,
+    make_dataset,
+)
+from bdm_db1_tpu.data.samplers import (
+    PrefetchLoader,
+    RandomSampler,
+    SequentialSampler,
+)
+from bdm_db1_tpu.data.dataset_utils import (
+    build_train_valid_test_datasets,
+    get_datasets_weights_and_types,
+    get_train_valid_test_split_,
+)
+
+
+def _write_corpus(tmp_path, docs, impl="mmap"):
+    prefix = str(tmp_path / "corpus")
+    b = make_builder(prefix, impl=impl, vocab_size=1000)
+    for d in docs:
+        b.add_item(np.asarray(d))
+        if impl == "mmap":
+            b.end_document()
+    b.finalize()
+    return prefix
+
+
+DOCS = [list(range(10)), list(range(100, 120)), [7] * 5, list(range(50))]
+
+
+def test_mmap_roundtrip_and_partial_reads(tmp_path):
+    prefix = _write_corpus(tmp_path, DOCS)
+    ds = MMapIndexedDataset(prefix)
+    assert len(ds) == 4
+    assert ds.dtype == np.uint16  # vocab<65500 auto-picks uint16
+    np.testing.assert_array_equal(ds[1], DOCS[1])
+    np.testing.assert_array_equal(ds.get(1, offset=5, length=3),
+                                  DOCS[1][5:8])
+    np.testing.assert_array_equal(ds.doc_idx, [0, 1, 2, 3, 4])
+
+
+def test_mmap_merge(tmp_path):
+    p1 = _write_corpus(tmp_path, DOCS[:2])
+    b = MMapIndexedDatasetBuilder(str(tmp_path / "merged"), dtype=np.uint16)
+    b.add_item(np.asarray(DOCS[2]))
+    b.end_document()
+    b.merge_file_(p1)
+    b.finalize()
+    ds = MMapIndexedDataset(str(tmp_path / "merged"))
+    assert len(ds) == 3
+    np.testing.assert_array_equal(ds[1], DOCS[0])
+    np.testing.assert_array_equal(ds[2], DOCS[1])
+
+
+def test_legacy_roundtrip(tmp_path):
+    prefix = str(tmp_path / "legacy")
+    b = IndexedDatasetBuilder(prefix, dtype=np.int32)
+    for d in DOCS:
+        b.add_item(np.asarray(d))
+    b.finalize()
+    ds = IndexedDataset(prefix)
+    np.testing.assert_array_equal(ds[2], DOCS[2])
+    cached = IndexedCachedDataset(prefix)
+    cached.prefetch([0, 3])
+    np.testing.assert_array_equal(cached[3], DOCS[3])
+    np.testing.assert_array_equal(cached[1], DOCS[1])
+
+
+def test_build_sample_idx_spans():
+    sizes = np.array([10, 20, 5, 50])
+    doc_idx = np.array([0, 1, 2, 3])
+    tokens_per_epoch = 85
+    seq = 16
+    idx = native.build_sample_idx(sizes, doc_idx, seq, 1, tokens_per_epoch)
+    # walk the spans: each sample covers exactly seq+1 tokens w/ 1 overlap
+    assert idx.shape == ((tokens_per_epoch - 1) // seq + 1, 2)
+    flat = []
+    for d in doc_idx:
+        flat.extend(range(sizes[d]))
+    for i in range(len(idx) - 1):
+        (d0, o0), (d1, o1) = idx[i], idx[i + 1]
+        start = sum(sizes[doc_idx[k]] for k in range(d0)) + o0
+        end = sum(sizes[doc_idx[k]] for k in range(d1)) + o1
+        assert end - start == seq
+
+
+def test_gpt_dataset_samples(tmp_path):
+    rng = np.random.RandomState(0)
+    docs = [rng.randint(0, 999, size=rng.randint(5, 60)).tolist()
+            for _ in range(20)]
+    prefix = _write_corpus(tmp_path, docs)
+    indexed = make_dataset(prefix)
+    ds = GPTDataset("train", indexed, np.arange(20), num_samples=30,
+                    seq_length=32, seed=0, cache_dir=str(tmp_path / "cache"))
+    assert len(ds) >= 30
+    s = ds[0]
+    assert s["tokens"].shape == (32,)
+    np.testing.assert_array_equal(s["label"][:-1], s["tokens"][1:])
+    # cached maps reload identically
+    ds2 = GPTDataset("train", indexed, np.arange(20), num_samples=30,
+                     seq_length=32, seed=0, cache_dir=str(tmp_path / "cache"))
+    np.testing.assert_array_equal(ds[5]["tokens"], ds2[5]["tokens"])
+
+
+class _Const:
+    def __init__(self, value, n=100):
+        self.value, self.n = value, n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, idx):
+        return self.value
+
+
+def test_blendable_slot_mode_proportions():
+    ds = BlendableDataset([_Const("a"), _Const("b")], [0.75, 0.25],
+                          global_batch_size=8)
+    got = [ds[i] for i in range(8)]
+    assert got.count("a") == 6 and got.count("b") == 2
+
+
+def test_blendable_index_mode_proportions():
+    ds = BlendableDataset([_Const("a"), _Const("b")], [0.7, 0.3],
+                          mode="index", size=1000)
+    got = [ds[i] for i in range(1000)]
+    assert abs(got.count("a") - 700) <= 1
+
+
+def test_blending_indices_native_matches_fallback():
+    w = np.array([0.5, 0.3, 0.2])
+    di, dsamp = native.build_blending_indices(w, 100)
+    counts = np.bincount(di, minlength=3)
+    np.testing.assert_allclose(counts / 100, w, atol=0.02)
+    # per-dataset sample indices are sequential
+    for k in range(3):
+        np.testing.assert_array_equal(dsamp[di == k],
+                                      np.arange(counts[k]))
+
+
+def test_samplers_shard_and_resume():
+    seqs = [list(SequentialSampler(20, 0, 2, r, 2).__iter__().__next__())
+            for r in range(2)]
+    assert seqs[0] == [0, 1] and seqs[1] == [2, 3]
+
+    it = iter(RandomSampler(50, 0, 4, 0, 1, seed=7))
+    a1 = next(it)
+    it2 = iter(RandomSampler(50, 0, 4, 0, 1, seed=7))
+    assert next(it2) == a1  # deterministic
+    # rank sharding covers disjoint indices within the same step
+    r0 = next(iter(RandomSampler(64, 0, 4, 0, 2, seed=3)))
+    r1 = next(iter(RandomSampler(64, 0, 4, 1, 2, seed=3)))
+    assert not set(r0) & set(r1)
+
+
+def test_prefetch_loader_batches():
+    class DS:
+        def __len__(self):
+            return 100
+
+        def __getitem__(self, i):
+            return {"x": np.full((4,), i, np.int32)}
+
+    loader = PrefetchLoader(DS(), SequentialSampler(100, 0, 2, 0, 1),
+                            accum_steps=3, num_threads=1)
+    batch = next(loader)
+    assert batch["x"].shape == (3, 2, 4)
+    loader.stop()
+
+
+def test_split_string():
+    idx = get_train_valid_test_split_("90,5,5", 100)
+    assert idx == [0, 90, 95, 100]
+    w, p, t = get_datasets_weights_and_types(
+        ["2", "x", "nlp", "1", "y", "rl"])
+    assert abs(w[0] - 2 / 3) < 1e-9 and p == ["x", "y"] and t == ["nlp", "rl"]
+
+
+def test_factory_nlp_blend(tmp_path):
+    rng = np.random.RandomState(0)
+    docs = [rng.randint(0, 999, size=30).tolist() for _ in range(30)]
+    p1 = _write_corpus(tmp_path / "a" if False else tmp_path, docs)
+    tr, va, te, no_blend = build_train_valid_test_datasets(
+        ["1.0", p1, "nlp"], "80,10,10", 16, (20, 5, 5), seed=0,
+        global_batch_size=4, cache_dir=str(tmp_path / "maps"))
+    assert tr is not None and va is not None
+    item = tr[0]
+    assert item["modality"] == "nlp"
+    assert item["tokens"].shape == (16,)
+    assert "nlp" in no_blend

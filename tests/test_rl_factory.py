@@ -1,0 +1,90 @@
+"""RL dataset views + factory integration: splits, few-shot, task-suite
+blending, and a full mixed rl+nlp factory build."""
+
+import numpy as np
+
+from bdm_db1_tpu.core.config import db1_tiny
+from bdm_db1_tpu.data.dataset_utils import (
+    build_train_valid_test_datasets,
+    register_creator,
+)
+from bdm_db1_tpu.data.indexed_dataset import make_builder
+from bdm_db1_tpu.data.rl_dataset import (
+    RLFinetuneDataset,
+    RLFullDataset,
+    RLTokenizerSuite,
+    TrajectoryStore,
+    make_rl_creator,
+    split_rl_dataset,
+)
+from bdm_db1_tpu.eval.envs import FakeContinuousEnv
+from bdm_db1_tpu.tokenizers.scalar import ScalarTokenizer
+from bdm_db1_tpu.tokenizers.text import ByteTextTokenizer
+
+
+def _tokenizer(cfg):
+    return RLTokenizerSuite(
+        cfg.vocab.layout(), ScalarTokenizer(cfg.vocab.num_continuous_bin),
+        ByteTextTokenizer(), vision_patch_size=cfg.vision.patch_size)
+
+
+def _make_cache(tmp_path, env_name="fake-a", episodes=6):
+    env = FakeContinuousEnv(obs_dim=4, act_dim=2, episode_len=8)
+    store = TrajectoryStore.from_flat_dataset(env.make_dataset(episodes))
+    store.save_cache(str(tmp_path), env_name)
+    return store
+
+
+def test_split_rl_dataset(tmp_path):
+    cfg = db1_tiny()
+    store = _make_cache(tmp_path)
+    full = RLFullDataset("fake-a", store, _tokenizer(cfg), seq_length=64,
+                         use_prompt=False, seed=0)
+    tr, va, te = split_rl_dataset(full, "80,10,10", seed=0)
+    assert len(tr) + len(va) + len(te) == len(full)
+    item = tr[0]
+    assert item["modality"] == "rl"
+    assert item["tokens"].shape == (64,)
+
+
+def test_finetune_few_shot(tmp_path):
+    cfg = db1_tiny()
+    store = _make_cache(tmp_path)
+    full = RLFullDataset("fake-a", store, _tokenizer(cfg), seq_length=64,
+                         use_prompt=False, seed=0)
+    few = RLFinetuneDataset(full, num_shots=2)
+    # only samples from the first two trajectories (8 steps each)
+    assert len(few) == 16
+    assert few[0]["tokens"].shape == (64,)
+
+
+def test_factory_mixed_rl_nlp(tmp_path):
+    cfg = db1_tiny()
+    for name in ("fake-a", "fake-b"):
+        _make_cache(tmp_path / "rlcache", name)
+
+    rng = np.random.RandomState(0)
+    prefix = str(tmp_path / "corpus")
+    b = make_builder(prefix, vocab_size=200)
+    for _ in range(20):
+        b.add_item(rng.randint(0, 199, size=40))
+        b.end_document()
+    b.finalize()
+
+    tok = _tokenizer(cfg)
+    rl_creator, suite_creator = make_rl_creator(
+        tok, str(tmp_path / "rlcache"),
+        suite_envs=lambda suite: ["fake-a", "fake-b"],
+        use_prompt=False)
+    register_creator("rl", rl_creator)
+    register_creator("rl_task_suite", suite_creator)
+
+    train, valid, test, no_blend = build_train_valid_test_datasets(
+        ["0.5", prefix, "nlp", "0.3", "fake-a", "rl",
+         "0.2", "fake-suite", "rl_task_suite"],
+        "80,10,10", 64, (40, 8, 8), seed=0, global_batch_size=8,
+        cache_dir=str(tmp_path / "maps"))
+    assert train is not None
+    mods = [train[i]["modality"] for i in range(8)]
+    assert "nlp" in mods and "rl" in mods
+    assert set(no_blend) == {"nlp", "rl", "rl_task_suite"}
