@@ -69,6 +69,9 @@ class ModelConfig:
     share_input_output_embedding: bool = True
     # RL local-timestep embedding vocab: ids 1..512 for obs+separator, 0 = action
     rl_timestep_vocab_size: int = 513
+    # "auto": fused Pallas flash rel-attention on TPU when shapes allow,
+    # XLA einsum path otherwise; "xla" / "pallas" force a path.
+    attention_impl: str = "auto"
     # TPU numerics: bf16 activations, fp32 attention scores/softmax/loss.
     dtype: str = "bfloat16"
     param_dtype: str = "float32"

@@ -91,6 +91,19 @@ def _deepnorm_or_normal(cfg: ModelConfig):
     return _xavier((8 * cfg.n_layer) ** -0.25)
 
 
+def _use_pallas(cfg: ModelConfig, qlen: int, klen: int,
+                use_dropatt: bool) -> bool:
+    if cfg.attention_impl == "xla" or use_dropatt:
+        return False
+    from bdm_db1_tpu.ops.pallas_attention import pallas_applicable
+
+    if not pallas_applicable(qlen, klen):
+        return False
+    if cfg.attention_impl == "pallas":
+        return True
+    return jax.devices()[0].platform == "tpu"  # "auto"
+
+
 class RelMultiHeadAttn(nn.Module):
     """Relative multi-head attention with fused QKV over [mem || x]
     (reference: src/model/transformer_xl.py:53-243).
@@ -171,13 +184,24 @@ class RelMultiHeadAttn(nn.Module):
         )(r.astype(dtype)).reshape(klen, h, dh)
 
         drop_rng = None
-        if not deterministic and cfg.dropattn > 0.0:
+        use_dropatt = not deterministic and cfg.dropattn > 0.0
+        if use_dropatt:
             drop_rng = self.make_rng("dropout")
-        attn = rel_attention(
-            q, k, v, r_k, r_w_bias, r_r_bias, mask,
-            dropout_rate=cfg.dropattn if not deterministic else 0.0,
-            dropout_rng=drop_rng, compute_dtype=dtype,
-        )
+
+        if _use_pallas(cfg, qlen, klen, use_dropatt):
+            from bdm_db1_tpu.ops.pallas_attention import pallas_rel_attention
+
+            attn = pallas_rel_attention(
+                q, k, v, r_k, r_w_bias.astype(jnp.float32),
+                r_r_bias.astype(jnp.float32), cfg.mem_len,
+                cfg.same_length, 1.0 / (dh ** 0.5),
+            ).astype(dtype)
+        else:
+            attn = rel_attention(
+                q, k, v, r_k, r_w_bias, r_r_bias, mask,
+                dropout_rate=cfg.dropattn if not deterministic else 0.0,
+                dropout_rng=drop_rng, compute_dtype=dtype,
+            )
         out = nn.Dense(
             d, use_bias=False, dtype=dtype, param_dtype=cfg.param_dtype,
             kernel_init=_part(_deepnorm_or_normal(cfg), ("heads", "embed")),
@@ -450,6 +474,26 @@ class TransformerXL(nn.Module):
         h, new_cache = self.trunk_kv(h, cache, deterministic=True)
         logits = self.logits(h[:, -1:, :])[:, 0, :]
         return logits, new_cache
+
+    def prime_ic_kv(
+        self, prompt: Array, images: Array, text: Array,
+        cache: Dict[str, Array],
+    ) -> Tuple[Array, Dict[str, Array]]:
+        """Fold an [prompt | image patches | text] prefix into the K/V cache
+        and return last-position logits (image-captioning / VQA decoding)."""
+        h = self.embed_ic(ICTaskBatch(prompt=prompt, images=images,
+                                      text=text), deterministic=True)
+        h, cache = self.trunk_kv(h, cache, deterministic=True)
+        return self.logits(h[:, -1:, :])[:, 0, :], cache
+
+    def decode_text_kv(
+        self, tokens: Array, cache: Dict[str, Array]
+    ) -> Tuple[Array, Dict[str, Array]]:
+        """One text-generation step over the K/V cache (plain word
+        embedding, no RL timestep term — the NLP/IC/VQA embedding path)."""
+        h = self.word_embedding(tokens)
+        h, cache = self.trunk_kv(h, cache, deterministic=True)
+        return self.logits(h[:, -1:, :])[:, 0, :], cache
 
     def logits(self, h: Array) -> Array:
         if self.cfg.share_input_output_embedding:
