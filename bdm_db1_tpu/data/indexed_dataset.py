@@ -254,6 +254,9 @@ class IndexedDatasetBuilder:
         self.sizes.extend(arr.shape)
         self.dim_offsets.append(self.dim_offsets[-1] + arr.ndim)
 
+    def add_document(self, tokens: np.ndarray) -> None:
+        self.add_item(tokens)
+
     def finalize(self) -> None:
         self._data.close()
         with open(index_file_path(self._prefix), "wb") as f:

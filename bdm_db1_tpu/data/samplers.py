@@ -59,20 +59,24 @@ class RandomSampler:
         self.world = dp_size
         self.seed = seed
 
-    def __iter__(self) -> Iterator[List[int]]:
+    def _index_stream(self) -> Iterator[int]:
+        epoch = self.consumed // self.total
+        offset = self.consumed % self.total
         while True:
-            epoch = self.consumed // self.total
-            offset = self.consumed % self.total
-            rng = np.random.RandomState(self.seed + epoch)
-            perm = rng.permutation(self.total)
-            bucket = perm[offset:]
-            # shard contiguous micro-batches round-robin across ranks
-            step = self.micro * self.world
-            for i in range(0, len(bucket) - step + 1, step):
-                lo = i + self.rank * self.micro
-                yield bucket[lo: lo + self.micro].tolist()
-                self.consumed += step
-            self.consumed += len(bucket) % step  # drop ragged tail
+            perm = np.random.RandomState(self.seed + epoch).permutation(
+                self.total)
+            yield from perm[offset:].tolist()
+            offset = 0
+            epoch += 1
+
+    def __iter__(self) -> Iterator[List[int]]:
+        stream = self._index_stream()
+        step = self.micro * self.world
+        while True:
+            block = [next(stream) for _ in range(step)]
+            self.consumed += step
+            lo = self.rank * self.micro
+            yield block[lo: lo + self.micro]
 
 
 def collate_modalities(samples: Sequence[Dict[str, np.ndarray]],

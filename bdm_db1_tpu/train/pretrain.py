@@ -1,0 +1,159 @@
+"""Pretraining driver — the ``main()`` the reference never shipped
+(reference: src/train_utils/train.py has no __main__; README.md:16
+"Pretraining scripts ... will come soon"; SURVEY.md §2.9).
+
+Usage:
+    python -m bdm_db1_tpu.train.pretrain --config cfg.json \
+        --data.data-path 0.8 /corpora/pile nlp 0.2 halfcheetah-medium-v2 rl \
+        --train.train-iters 10000 ...
+
+Wires: config -> tokenizers -> dataset factory -> stratified loader ->
+mesh + sharded train step -> Trainer (logging, eval hooks, orbax
+checkpoints with auto-resume).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from bdm_db1_tpu.core.config import DB1Config
+from bdm_db1_tpu.core.logging import MetricLogger, print_rank_0
+from bdm_db1_tpu.data.dataset_utils import (
+    build_train_valid_test_datasets,
+    register_creator,
+)
+from bdm_db1_tpu.data.rl_dataset import RLTokenizerSuite, make_rl_creator
+from bdm_db1_tpu.data.samplers import (
+    RandomSampler,
+    StratifiedGatoLoader,
+    mixture_counts,
+)
+from bdm_db1_tpu.models.transformer_xl import TransformerXL
+from bdm_db1_tpu.parallel.mesh import make_mesh
+from bdm_db1_tpu.tokenizers.scalar import ScalarTokenizer
+from bdm_db1_tpu.tokenizers.text import build_text_tokenizer
+from bdm_db1_tpu.train.step import make_optimizer, make_sharded_train_step
+from bdm_db1_tpu.train.trainer import Trainer, evaluate_loss, to_gato_batch
+
+
+def build_tokenizer_suite(cfg: DB1Config) -> RLTokenizerSuite:
+    return RLTokenizerSuite(
+        cfg.vocab.layout(),
+        ScalarTokenizer(cfg.vocab.num_continuous_bin,
+                        cfg.vocab.discretize_mu, cfg.vocab.discretize_M),
+        build_text_tokenizer(cfg.data.tokenizer_save_path,
+                             cfg.vocab.text_vocab_size),
+        vision_patch_size=cfg.vision.patch_size,
+    )
+
+
+def build_loader(cfg: DB1Config, datasets_by_modality: Dict[str, object],
+                 weights: Dict[str, float], dp_rank: int, dp_size: int,
+                 consumed: int = 0):
+    micro = cfg.train.micro_batch_size * dp_size
+    counts = mixture_counts(weights, micro)
+    accum = max(1, cfg.train.global_batch_size // micro)
+    samplers = {
+        m: RandomSampler(len(d), consumed, counts[m], dp_rank, dp_size,
+                         seed=cfg.train.seed)
+        for m, d in datasets_by_modality.items()
+    }
+    return StratifiedGatoLoader(
+        datasets_by_modality, samplers, counts, accum,
+        num_threads=cfg.data.num_workers)
+
+
+def group_by_modality(train_ds) -> Dict[str, object]:
+    """The stratified loader wants one dataset per modality; the blendable
+    mixture already proportions inside each modality."""
+    # The dataset factory returns a blended dataset; per-modality grouping
+    # happens at the creator level. For the common case we inspect a probe
+    # sample per sub-dataset.
+    if hasattr(train_ds, "datasets"):
+        groups: Dict[str, list] = {}
+        for d, w in zip(train_ds.datasets, train_ds.weights):
+            m = d[0].get("modality", "rl")
+            groups.setdefault(m, []).append((d, float(w)))
+        out = {}
+        weights = {}
+        for m, pairs in groups.items():
+            if len(pairs) == 1:
+                out[m] = pairs[0][0]
+            else:
+                from bdm_db1_tpu.data.blendable import BlendableDataset
+
+                out[m] = BlendableDataset(
+                    [p[0] for p in pairs], [p[1] for p in pairs],
+                    mode="index",
+                    size=sum(len(p[0]) for p in pairs))
+            weights[m] = sum(p[1] for p in pairs)
+        return out, weights
+    m = train_ds[0].get("modality", "rl")
+    return {m: train_ds}, {m: 1.0}
+
+
+def main(cfg: Optional[DB1Config] = None) -> None:
+    cfg = cfg or DB1Config.from_cli()
+    if jax.process_count() > 1:  # pragma: no cover — multi-host only
+        jax.distributed.initialize()
+
+    print_rank_0(f"devices: {len(jax.devices())} x "
+                 f"{jax.devices()[0].platform}")
+    mesh = make_mesh(cfg.mesh)
+    dp_size = mesh.shape["data"]
+
+    tok = build_tokenizer_suite(cfg)
+    if cfg.data.rl_dataset_cache_dir:
+        rl_creator, suite_creator = make_rl_creator(
+            tok, cfg.data.rl_dataset_cache_dir,
+            use_prompt=cfg.data.use_prompt,
+            prompt_ratio=cfg.data.prompt_ratio,
+            prompt_prob=cfg.data.prompt_prob,
+            prompt_at_final_transition_prob=(
+                cfg.data.prompt_at_final_transition_prob),
+            prompt_strategy=cfg.data.prompt_strategy.split(";")[0])
+        register_creator("rl", rl_creator)
+        register_creator("rl_task_suite", suite_creator)
+
+    n_train = cfg.train.train_iters * cfg.train.global_batch_size
+    train_ds, valid_ds, _, valid_no_blend = build_train_valid_test_datasets(
+        cfg.data.data_path, cfg.data.split, cfg.data.seq_length,
+        (n_train, cfg.train.eval_iters * cfg.train.global_batch_size, 0),
+        cfg.train.seed, cfg.train.global_batch_size,
+        cache_dir=cfg.data.rl_dataset_cache_dir)
+
+    datasets, weights = group_by_modality(train_ds)
+    loader = build_loader(cfg, datasets, weights, 0, dp_size)
+
+    model = TransformerXL(cfg.model, cfg.vocab, cfg.vision)
+    tx = make_optimizer(cfg.train.optimizer, cfg.train.train_iters)
+    example = to_gato_batch(next(loader))
+    init_fn, step_fn = make_sharded_train_step(
+        model, tx, jax.random.PRNGKey(cfg.train.seed), example, mesh)
+    state = init_fn(example)
+    n_params = sum(
+        int(np.prod(x.shape)) for x in jax.tree.leaves(state.params))
+    print_rank_0(f"model parameters: {n_params:,}")
+
+    def eval_fn(state, iteration):
+        if valid_ds is None:
+            return {}
+        vd, vw = group_by_modality(valid_ds)
+        vloader = build_loader(cfg, vd, vw, 0, dp_size)
+        batches = [next(vloader) for _ in range(cfg.train.eval_iters)]
+        vloader.stop()
+        return {"loss": evaluate_loss(model, state, batches)}
+
+    logger = MetricLogger(cfg.train.save_dir, cfg.train.tensorboard_dir)
+    trainer = Trainer(cfg, model, step_fn, state, loader,
+                      eval_fn=eval_fn, logger=logger)
+    trainer.train()
+    loader.stop()
+    print_rank_0("training complete")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,127 @@
+"""CLI driver integration: pretrain main() and evaluate_rl main() run
+end-to-end on tiny configs with fake envs / synthetic corpora."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from bdm_db1_tpu.core.config import db1_tiny
+from bdm_db1_tpu.data.indexed_dataset import make_builder
+from bdm_db1_tpu.data.rl_dataset import TrajectoryStore
+from bdm_db1_tpu.eval.envs import FakeContinuousEnv
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("drivers")
+    rng = np.random.RandomState(0)
+    b = make_builder(str(tmp / "corpus"), vocab_size=256)
+    for _ in range(30):
+        b.add_item(rng.randint(1, 200, size=60))
+        b.end_document()
+    b.finalize()
+    # registry default geometry (obs 5 / act 2) so evaluate_rl's
+    # make_env("fake-continuous-v0") matches the cached dataset
+    env = FakeContinuousEnv(episode_len=8)
+    TrajectoryStore.from_flat_dataset(env.make_dataset(5)).save_cache(
+        str(tmp / "rl"), "fake-continuous-v0")
+    return tmp
+
+
+def _tiny_cfg(tmp):
+    cfg = db1_tiny()
+    cfg.model.dtype = "float32"
+    cfg.data.rl_dataset_cache_dir = str(tmp / "rl")
+    cfg.data.seq_length = cfg.model.n_position
+    return cfg
+
+
+def test_pretrain_main(workspace):
+    from bdm_db1_tpu.train.pretrain import main
+
+    cfg = _tiny_cfg(workspace)
+    cfg.data.data_path = ("0.5", str(workspace / "corpus"), "nlp",
+                          "0.5", "fake-continuous-v0", "rl")
+    cfg.train.train_iters = 3
+    cfg.train.global_batch_size = 16
+    cfg.train.micro_batch_size = 8
+    cfg.train.log_interval = 1
+    cfg.train.eval_interval = 1000
+    cfg.train.save_interval = 3
+    cfg.train.save_dir = str(workspace / "run")
+    cfg.mesh.model_parallel = 2
+    main(cfg)
+    assert os.path.exists(os.path.join(cfg.train.save_dir, "3"))
+    metrics = open(os.path.join(cfg.train.save_dir,
+                                "metrics.jsonl")).read()
+    assert "train/loss" in metrics
+
+
+def test_evaluate_rl_main(workspace):
+    from bdm_db1_tpu.eval.evaluate_rl import main
+
+    cfg = _tiny_cfg(workspace)
+    cfg.eval.env_names = ("fake-continuous-v0",)
+    cfg.eval.num_trials = 1
+    cfg.eval.max_step_size = 4
+    cfg.train.save_dir = str(workspace / "eval_out")
+    results = main(cfg)
+    assert len(results) == 1
+    assert results[0]["env"] == "fake-continuous-v0"
+    assert np.isfinite(results[0]["return_mean"])
+    out = open(os.path.join(cfg.train.save_dir, "results.output")).read()
+    assert "return_mean" in out
+
+
+def test_preprocess_cli(workspace, tmp_path):
+    from bdm_db1_tpu.data.preprocess import main
+    from bdm_db1_tpu.data.indexed_dataset import make_dataset
+
+    src = tmp_path / "docs.jsonl"
+    with open(src, "w") as f:
+        for i in range(5):
+            f.write(json.dumps({"text": f"Hello world {i}. Bye."}) + "\n")
+    out_prefix = str(tmp_path / "out")
+    main(["--input", str(src), "--json-key", "text",
+          "--output-prefix", out_prefix, "--vocab-size", "300"])
+    ds = make_dataset(out_prefix)
+    assert len(ds) == 5
+    assert ds[0][-1] == 0  # EOD appended
+
+
+def test_utils_modules():
+    import jax.numpy as jnp
+
+    from bdm_db1_tpu.models.utils import DropPath, init_scaled_normal
+    from bdm_db1_tpu.parallel.utils import (
+        split_along_last_dim, vocab_range_from_global_vocab_size,
+    )
+    from bdm_db1_tpu.utils.debugging import check_nan, global_finite
+    from bdm_db1_tpu.utils.profiling import StepTimer, device_memory_stats
+
+    assert vocab_range_from_global_vocab_size(100, 1, 4) == (25, 50)
+    parts = split_along_last_dim(np.ones((2, 8)), 4)
+    assert len(parts) == 4 and parts[0].shape == (2, 2)
+
+    bad = {"a": np.array([1.0, np.nan])}
+    assert check_nan(bad) == ["params['a']"]
+    assert not bool(global_finite(jnp.asarray(bad["a"])))
+    assert bool(global_finite({"x": jnp.ones(3)}))
+
+    t = StepTimer(tokens_per_step=100)
+    t.tick(); t.tick()
+    assert t.summary()["steps_per_sec"] > 0
+    assert "bytes_in_use" in device_memory_stats()
+
+    import jax
+
+    dp = DropPath(rate=0.5)
+    x = jnp.ones((4, 3))
+    params = dp.init({"params": jax.random.PRNGKey(0)}, x)
+    out = dp.apply(params, x, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+    out2 = dp.apply(params, x, deterministic=False,
+                    rngs={"dropout": jax.random.PRNGKey(1)})
+    assert set(np.unique(np.asarray(out2))) <= {0.0, 2.0}
