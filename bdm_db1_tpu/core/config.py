@@ -72,6 +72,9 @@ class ModelConfig:
     # "auto": fused Pallas flash rel-attention on TPU when shapes allow,
     # XLA einsum path otherwise; "xla" / "pallas" force a path.
     attention_impl: str = "auto"
+    # rematerialize each decoder layer in backward (jax.checkpoint):
+    # trades ~30% step FLOPs for O(n_layer) less activation HBM.
+    remat: bool = False
     # TPU numerics: bf16 activations, fp32 attention scores/softmax/loss.
     dtype: str = "bfloat16"
     param_dtype: str = "float32"
@@ -112,6 +115,7 @@ class OptimizerConfig:
     start_weight_decay: float = 0.1
     weight_decay_incr_style: str = "constant"
     clip_grad: float = 1.0
+    adam_mu_dtype: Optional[str] = None  # e.g. "bfloat16" to halve moment HBM
     lr_decay_style: str = "cosine"
     lr_warmup_iters: int = 0
     lr_warmup_fraction: Optional[float] = None

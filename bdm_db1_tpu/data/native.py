@@ -155,5 +155,68 @@ def build_blending_indices(
     return ds_index, ds_sample
 
 
+def build_mapping(
+    docs: np.ndarray, sizes: np.ndarray, num_epochs: int,
+    max_num_samples: int, max_seq_length: int, short_seq_prob: float,
+    seed: int,
+) -> np.ndarray:
+    """BERT-style sentence-group sample map: rows
+    (sentence_start, sentence_end, target_seq_length), shuffled
+    (reference: helpers.cpp:221-470)."""
+    docs = np.ascontiguousarray(docs, dtype=np.int64)
+    sizes = np.ascontiguousarray(sizes, dtype=np.int64)
+    lib = _load_native()
+    if lib is None:
+        raise RuntimeError(
+            "build_mapping requires the native helper library "
+            "(bdm_db1_tpu/data/_native); g++ build failed")
+    lib.build_mapping.restype = ctypes.c_int64
+    argv = (
+        docs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(len(docs)),
+        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(num_epochs), ctypes.c_int64(max_num_samples),
+        ctypes.c_int64(max_seq_length), ctypes.c_double(short_seq_prob),
+        ctypes.c_uint64(seed),
+    )
+    count = lib.build_mapping(*argv, ctypes.POINTER(ctypes.c_int64)())
+    out = np.empty((count, 3), dtype=np.int64)
+    lib.build_mapping(*argv,
+                      out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return out
+
+
+def build_blocks_mapping(
+    docs: np.ndarray, sizes: np.ndarray, doc_ids: np.ndarray,
+    num_epochs: int, max_num_samples: int, max_seq_length: int,
+    short_seq_prob: float, seed: int,
+) -> np.ndarray:
+    """ICT-style block map: rows (sentence_start, sentence_end, doc_id,
+    target_seq_length), shuffled (reference: helpers.cpp:470-728)."""
+    docs = np.ascontiguousarray(docs, dtype=np.int64)
+    sizes = np.ascontiguousarray(sizes, dtype=np.int64)
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    lib = _load_native()
+    if lib is None:
+        raise RuntimeError(
+            "build_blocks_mapping requires the native helper library")
+    lib.build_blocks_mapping.restype = ctypes.c_int64
+    argv = (
+        docs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(len(docs)),
+        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        doc_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(num_epochs), ctypes.c_int64(max_num_samples),
+        ctypes.c_int64(max_seq_length), ctypes.c_double(short_seq_prob),
+        ctypes.c_uint64(seed),
+    )
+    count = lib.build_blocks_mapping(
+        *argv, ctypes.POINTER(ctypes.c_int64)())
+    out = np.empty((count, 4), dtype=np.int64)
+    lib.build_blocks_mapping(
+        *argv, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return out
+
+
 def native_available() -> bool:
     return _load_native() is not None

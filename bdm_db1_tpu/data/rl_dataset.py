@@ -302,10 +302,16 @@ class RLFullDataset:
         prompt_strategy: str = "stochastic_subseq",
         cache_dir: Optional[str] = None,
         seed: Optional[int] = None,
+        obs_postprocess: Optional[Callable] = None,
+        action_mapper: Optional[Callable] = None,
     ):
         self.name = name
         self.store = store
         self.tok = tokenizer
+        # env-specific transforms (reference: rl_dataset.py:406-410 uses
+        # env.post_process_fn / env.action_mapper when the env defines them)
+        self.obs_postprocess = obs_postprocess
+        self.action_mapper = action_mapper
         self.output_sequence_length = int(seq_length)
         self.use_prompt = use_prompt
         self.prompt_ratio = prompt_ratio
@@ -344,6 +350,10 @@ class RLFullDataset:
     # -- meta -------------------------------------------------------------
     def _build_meta(self) -> None:
         obs0, act0 = self.store.get(0)
+        if self.obs_postprocess is not None:
+            obs0 = self.obs_postprocess(obs0)
+        if self.action_mapper is not None:
+            act0 = self.action_mapper(act0)
         self.obs_type_spec = tree_map(obs_type_of, obs0)
         self.observation_dims_for_spec = tree_map(
             lambda x, t: self.tok.obs_dim_of(x, t), obs0, self.obs_type_spec)
@@ -400,6 +410,10 @@ class RLFullDataset:
     def postprocess_obs_and_act(self, obs: ObsTree, act: np.ndarray):
         """-> ((o_text, o_image, o_tensor) trees, act_tokens)
         (reference: src/data/rl_dataset.py:393-473)."""
+        if self.obs_postprocess is not None:
+            obs = self.obs_postprocess(obs)
+        if self.action_mapper is not None:
+            act = self.action_mapper(act)
         enc = tree_map(
             lambda x, t, d: self.tok.encode_obs_leaf(np.asarray(x), t, d),
             obs, self.obs_type_spec, self.observation_dims_for_spec,

@@ -310,8 +310,16 @@ class TransformerXL(nn.Module):
                 "r_r_bias", _part(NORMAL_INIT, ("heads", "head_dim")),
                 (cfg.n_head, cfg.d_head), cfg.param_dtype,
             )
+        layer_cls = DecoderLayer
+        if cfg.remat:
+            # recompute each layer in backward: activation memory drops from
+            # O(n_layer * B * L * D) to O(B * L * D)
+            layer_cls = nn.remat(
+                DecoderLayer, static_argnums=(7,),
+                prevent_cse=False,
+            )
         ScanLayers = nn.scan(
-            DecoderLayer,
+            layer_cls,
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
             in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast,

@@ -49,7 +49,8 @@ def make_optimizer(cfg: OptimizerConfig, train_iters: int) -> optax.GradientTran
         parts.append(optax.clip_by_global_norm(cfg.clip_grad))
     if cfg.optimizer in ("adamw", "adam"):
         parts.append(optax.scale_by_adam(
-            b1=cfg.adam_beta1, b2=cfg.adam_beta2, eps=cfg.adam_eps))
+            b1=cfg.adam_beta1, b2=cfg.adam_beta2, eps=cfg.adam_eps,
+            mu_dtype=cfg.adam_mu_dtype))
     elif cfg.optimizer == "sgd":
         pass  # plain (scaled) gradient
     else:

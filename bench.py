@@ -41,7 +41,12 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=16,
                     help="envs decoded per device call (lockstep batch; "
                          "16 fits the 1.2B KV cache in one v5e chip's HBM)")
+    ap.add_argument("--mode", choices=["eval", "train"], default="eval",
+                    help="eval: RL actions/sec; train: pretrain tokens/sec/chip")
     args = ap.parse_args()
+
+    if args.mode == "train":
+        return bench_train(args)
 
     import jax
 
@@ -141,6 +146,89 @@ def main() -> None:
         "unit": "actions/sec",
         "vs_baseline": round(
             actions_per_sec / A100_BASELINE_ACTIONS_PER_SEC, 3),
+    }))
+
+
+def bench_train(args) -> None:
+    """Pretrain tokens/sec/chip: full sharded train step (fwd+bwd+AdamW) of
+    the 1.2B flagship on the local device(s), Pallas attention + remat +
+    bf16 params/moments to fit one chip's HBM."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from bdm_db1_tpu.core.config import OptimizerConfig, db1_1p2b, db1_tiny
+    from bdm_db1_tpu.data.input_specs import RLTaskBatch
+    from bdm_db1_tpu.models.transformer_xl import TransformerXL
+    from bdm_db1_tpu.parallel.mesh import make_mesh
+    from bdm_db1_tpu.train.step import make_optimizer, make_sharded_train_step
+    from bdm_db1_tpu.train.trainer import to_gato_batch
+
+    if args.smoke:
+        import os
+
+        os.environ.setdefault(
+            "XLA_FLAGS", "--xla_force_host_platform_device_count=1")
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+        cfg = db1_tiny()
+        cfg.model.dtype = "float32"
+        micro, accum = 2, 1
+    else:
+        cfg = db1_1p2b()
+        cfg.model.param_dtype = "bfloat16"
+        cfg.model.remat = True
+        cfg.train.optimizer.adam_mu_dtype = "bfloat16"
+        micro, accum = 4, 1  # per-chip micro 4 (reference micro batch 4)
+
+    n_dev = len(jax.devices())
+    cfg.mesh.model_parallel = 1
+    mesh = make_mesh(cfg.mesh)
+    layout = cfg.vocab.layout()
+    L = cfg.model.n_position
+    rng = np.random.RandomState(0)
+    toks = rng.randint(0, layout.total_vocab_size,
+                       (accum, micro * n_dev, L)).astype(np.int32)
+    step_sz = 24
+    idx = np.arange(L)
+    pos = np.where(idx % step_sz <= 17, 1 + (idx % step_sz), 0)
+    raw = {"rl": {
+        "tokens": toks,
+        "position_id": np.broadcast_to(
+            pos, toks.shape).astype(np.int32).copy(),
+        "loss_mask": (np.broadcast_to(pos, toks.shape) == 0
+                      ).astype(np.float32).copy(),
+        "label": toks,
+    }}
+    batch = to_gato_batch(raw)
+    tx = make_optimizer(cfg.train.optimizer, 1000)
+    init_fn, step_fn = make_sharded_train_step(
+        model := TransformerXL(cfg.model, cfg.vocab, cfg.vision),
+        tx, jax.random.PRNGKey(0), batch, mesh)
+    state = init_fn(batch)
+    key = jax.random.PRNGKey(1)
+    state, m = step_fn(state, batch, key)  # compile
+    float(m["loss"])
+
+    times = []
+    for _ in range(args.steps if not args.smoke else 3):
+        t0 = time.perf_counter()
+        state, m = step_fn(state, batch, key)
+        float(m["loss"])  # block
+        times.append(time.perf_counter() - t0)
+    tokens_per_batch = accum * micro * n_dev * L
+    tps_chip = tokens_per_batch / float(np.median(times)) / n_dev
+    # A100 fp16 DDP estimate for 1.2B @ 40% MFU: ~14k tok/s/GPU
+    baseline = 14000.0
+    print(json.dumps({
+        "metric": "pretrain_tokens_per_sec_per_chip_1p2b"
+        if not args.smoke else "pretrain_tokens_per_sec_per_chip_smoke",
+        "value": round(tps_chip, 1),
+        "unit": "tokens/sec/chip",
+        "vs_baseline": round(tps_chip / baseline, 3),
     }))
 
 

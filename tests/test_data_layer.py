@@ -203,3 +203,22 @@ def test_factory_nlp_blend(tmp_path):
     assert item["modality"] == "nlp"
     assert item["tokens"].shape == (16,)
     assert "nlp" in no_blend
+
+
+def test_native_mapping_builders():
+    docs = np.array([0, 3, 5, 9])
+    sizes = np.array([5, 8, 3, 10, 2, 4, 4, 4, 4])
+    if not native.native_available():
+        pytest.skip("native helpers unavailable")
+    m = native.build_mapping(docs, sizes, num_epochs=2, max_num_samples=100,
+                             max_seq_length=12, short_seq_prob=0.1, seed=7)
+    assert m.ndim == 2 and m.shape[1] == 3
+    assert (m[:, 0] < m[:, 1]).all()
+    assert (m[:, 2] <= 12).all() and (m[:, 2] >= 2).all()
+    np.testing.assert_array_equal(
+        m, native.build_mapping(docs, sizes, 2, 100, 12, 0.1, 7))
+
+    b = native.build_blocks_mapping(
+        docs, sizes, np.array([10, 20, 30]), 2, 100, 12, 0.1, 7)
+    assert b.shape[1] == 4
+    assert set(b[:, 2].tolist()) <= {10, 20, 30}
