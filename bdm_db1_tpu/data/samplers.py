@@ -96,6 +96,30 @@ def collate_modalities(samples: Sequence[Dict[str, np.ndarray]],
     return out
 
 
+class RandomSeedDataset:
+    """Reseeds global RNGs deterministically per sample index so worker
+    threads cannot desynchronize augmentation randomness
+    (reference: data_samplers.py:173-190)."""
+
+    def __init__(self, dataset, base_seed: int = 1234):
+        self.dataset = dataset
+        self.base_seed = base_seed
+
+    def __len__(self) -> int:
+        return len(self.dataset)
+
+    def set_epoch(self, epoch: int) -> None:
+        self.base_seed += epoch
+
+    def __getitem__(self, idx: int):
+        import random
+
+        seed = self.base_seed + int(idx)
+        random.seed(seed)
+        np.random.seed(seed % (2 ** 32))
+        return self.dataset[idx]
+
+
 def mixture_counts(weights: Dict[str, float], micro_batch_size: int
                    ) -> Dict[str, int]:
     """Per-micro-batch sample counts per modality (fixed across steps so the

@@ -169,3 +169,42 @@ def convert_checkpoint(load_dir: str, tag: str, cfg: DB1Config) -> dict:
     """End-to-end: DeepSpeed checkpoint dir -> flax params."""
     sd = load_torch_state_dict(find_deepspeed_model_states(load_dir, tag))
     return convert_state_dict(sd, cfg)
+
+
+def main(argv=None) -> None:
+    """CLI: convert a DeepSpeed checkpoint to an orbax checkpoint dir.
+
+    python -m bdm_db1_tpu.train.convert --load-dir /ckpts \
+        --tag db1_870task_checkpoint --output /ckpts_tpu [--config cfg.json]
+    """
+    import argparse
+
+    ap = argparse.ArgumentParser("convert")
+    ap.add_argument("--load-dir", required=True)
+    ap.add_argument("--tag", default="db1_870task_checkpoint")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--config", default=None,
+                    help="DB1Config json; default: the 1.2B flagship")
+    args = ap.parse_args(argv)
+
+    from bdm_db1_tpu.core.config import db1_1p2b
+
+    cfg = (DB1Config.from_json(args.config) if args.config else db1_1p2b())
+    params = convert_checkpoint(args.load_dir, args.tag, cfg)
+    n = int(sum(np.prod(v.shape) for v in
+                __import__("jax").tree.leaves(params)))
+    print(f"converted {n:,} parameters")
+
+    from bdm_db1_tpu.train.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(args.output)
+    mgr.save(0, {"params": params},
+             client_state={"source": f"{args.load_dir}/{args.tag}",
+                           "iteration": 0})
+    mgr.wait()
+    mgr.close()
+    print(f"wrote orbax checkpoint to {args.output}/0")
+
+
+if __name__ == "__main__":
+    main()

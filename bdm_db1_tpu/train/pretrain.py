@@ -118,6 +118,19 @@ def main(cfg: Optional[DB1Config] = None) -> None:
         register_creator("rl", rl_creator)
         register_creator("rl_task_suite", suite_creator)
 
+    if any(t in cfg.data.data_path for t in ("ic", "vqa")):
+        from bdm_db1_tpu.data.vit_dataset import (
+            make_ic_creator, make_vqa_creator,
+        )
+
+        eos = tok.text_tokenizer.eos_token_id
+        register_creator("ic", make_ic_creator(
+            n_position=cfg.model.n_position,
+            patch_size=cfg.vision.patch_size, eos_token_id=eos))
+        register_creator("vqa", make_vqa_creator(
+            n_position=cfg.model.n_position,
+            patch_size=cfg.vision.patch_size, eos_token_id=eos))
+
     n_train = cfg.train.train_iters * cfg.train.global_batch_size
     train_ds, valid_ds, _, valid_no_blend = build_train_valid_test_datasets(
         cfg.data.data_path, cfg.data.split, cfg.data.seq_length,
@@ -139,13 +152,37 @@ def main(cfg: Optional[DB1Config] = None) -> None:
     print_rank_0(f"model parameters: {n_params:,}")
 
     def eval_fn(state, iteration):
-        if valid_ds is None:
-            return {}
-        vd, vw = group_by_modality(valid_ds)
-        vloader = build_loader(cfg, vd, vw, 0, dp_size)
-        batches = [next(vloader) for _ in range(cfg.train.eval_iters)]
-        vloader.stop()
-        return {"loss": evaluate_loss(model, state, batches)}
+        """valid loss + optional RL episode rollouts
+        (reference: train.py:86-207 evaluate_and_print_results)."""
+        out = {}
+        if valid_ds is not None:
+            vd, vw = group_by_modality(valid_ds)
+            vloader = build_loader(cfg, vd, vw, 0, dp_size)
+            batches = [next(vloader) for _ in range(cfg.train.eval_iters)]
+            vloader.stop()
+            out["loss"] = evaluate_loss(model, state, batches)
+        if cfg.eval.env_names and jax.process_index() == 0:
+            from bdm_db1_tpu.data.rl_dataset import build_rl_dataset_from_cache
+            from bdm_db1_tpu.eval.envs import make_env
+            from bdm_db1_tpu.eval.harness import evaluate_env
+            from bdm_db1_tpu.eval.wrapper import TokenizedEnv
+
+            params = state.params
+            for name in cfg.eval.env_names:
+                def make_tenv(n=name):
+                    ds = build_rl_dataset_from_cache(
+                        n, cfg.data.rl_dataset_cache_dir,
+                        cfg.model.n_position, tok,
+                        use_prompt=cfg.eval.use_prompt)
+                    return TokenizedEnv(make_env(n), ds)
+
+                res = evaluate_env(
+                    model, params, make_tenv,
+                    num_trials=cfg.eval.num_trials, seed=cfg.eval.seed,
+                    max_step_size=cfg.eval.max_step_size)
+                out[f"return/{name}"] = res["return_mean"]
+                out[f"length/{name}"] = res["length_mean"]
+        return out
 
     logger = MetricLogger(cfg.train.save_dir, cfg.train.tensorboard_dir)
     trainer = Trainer(cfg, model, step_fn, state, loader,

@@ -213,3 +213,42 @@ def test_vqa_generation(tmp_path):
     out = evaluate_vqa(model, params, ds, cfg.vocab.layout(),
                        eos_token_id=0, num_samples=2, batch_size=2)
     assert "vqa_accuracy" in out and out["num_evaluated"] == 2.0
+
+
+def test_vit_dataset_factories(tmp_path):
+    from bdm_db1_tpu.data.vit_dataset import (
+        get_ic_coco_dataset, make_ic_creator,
+    )
+
+    cfg = _tiny_cfg()
+    ann, hw = _coco_fixture(tmp_path, cfg)
+    ds = get_ic_coco_dataset(
+        "", ann, n_position=cfg.model.n_position, image_size=hw,
+        patch_size=cfg.vision.patch_size)
+    item = ds[0]
+    assert item["modality"] == "ic"
+    assert item["label"].shape == (cfg.model.n_position,)
+
+    creator = make_ic_creator(n_position=cfg.model.n_position,
+                              image_size=hw,
+                              patch_size=cfg.vision.patch_size)
+    tr, va, te = creator(f":{ann}", "90,5,5", 64, (1, 1, 1), 0)
+    assert len(tr) == len(va) == 3
+
+
+def test_random_seed_dataset():
+    import random
+
+    from bdm_db1_tpu.data.samplers import RandomSeedDataset
+
+    class DS:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return random.random()
+
+    ds = RandomSeedDataset(DS(), base_seed=5)
+    a, b = ds[3], ds[3]
+    assert a == b            # same index -> same augmentation stream
+    assert ds[4] != ds[3]
