@@ -51,13 +51,20 @@ def build_tokenizer_suite(cfg: DB1Config) -> RLTokenizerSuite:
 
 
 def build_loader(cfg: DB1Config, datasets_by_modality: Dict[str, object],
-                 weights: Dict[str, float], dp_rank: int, dp_size: int,
+                 weights: Dict[str, float], dp_devices: int,
                  consumed: int = 0):
-    micro = cfg.train.micro_batch_size * dp_size
-    counts = mixture_counts(weights, micro)
-    accum = max(1, cfg.train.global_batch_size // micro)
+    """Per-process loader: yields this host's share of the global batch
+    ([accum, micro * local_dp_devices, ...]); multi-host assembly into
+    global arrays happens in the Trainer."""
+    n_proc = jax.process_count()
+    proc = jax.process_index()
+    local_dp = max(1, dp_devices // n_proc)
+    micro_local = cfg.train.micro_batch_size * local_dp
+    counts = mixture_counts(weights, micro_local)
+    accum = max(1, cfg.train.global_batch_size
+                // (cfg.train.micro_batch_size * dp_devices))
     samplers = {
-        m: RandomSampler(len(d), consumed, counts[m], dp_rank, dp_size,
+        m: RandomSampler(len(d), consumed, counts[m], proc, n_proc,
                          seed=cfg.train.seed)
         for m, d in datasets_by_modality.items()
     }
@@ -139,7 +146,7 @@ def main(cfg: Optional[DB1Config] = None) -> None:
         cache_dir=cfg.data.rl_dataset_cache_dir)
 
     datasets, weights = group_by_modality(train_ds)
-    loader = build_loader(cfg, datasets, weights, 0, dp_size)
+    loader = build_loader(cfg, datasets, weights, dp_size)
 
     model = TransformerXL(cfg.model, cfg.vocab, cfg.vision)
     tx = make_optimizer(cfg.train.optimizer, cfg.train.train_iters)
@@ -157,7 +164,7 @@ def main(cfg: Optional[DB1Config] = None) -> None:
         out = {}
         if valid_ds is not None:
             vd, vw = group_by_modality(valid_ds)
-            vloader = build_loader(cfg, vd, vw, 0, dp_size)
+            vloader = build_loader(cfg, vd, vw, dp_size)
             batches = [next(vloader) for _ in range(cfg.train.eval_iters)]
             vloader.stop()
             out["loss"] = evaluate_loss(model, state, batches)
@@ -186,7 +193,7 @@ def main(cfg: Optional[DB1Config] = None) -> None:
 
     logger = MetricLogger(cfg.train.save_dir, cfg.train.tensorboard_dir)
     trainer = Trainer(cfg, model, step_fn, state, loader,
-                      eval_fn=eval_fn, logger=logger)
+                      eval_fn=eval_fn, logger=logger, mesh=mesh)
     trainer.train()
     loader.stop()
     print_rank_0("training complete")

@@ -53,6 +53,7 @@ class Trainer:
         *,
         eval_fn: Optional[Callable] = None,
         logger: Optional[MetricLogger] = None,
+        mesh=None,
     ):
         self.cfg = cfg
         self.model = model
@@ -60,6 +61,7 @@ class Trainer:
         self.state = state
         self.loader = loader
         self.eval_fn = eval_fn
+        self.mesh = mesh
         self.logger = logger or MetricLogger(cfg.train.save_dir)
         self.ckpt = (CheckpointManager(cfg.train.save_dir)
                      if cfg.train.save_dir else None)
@@ -87,6 +89,13 @@ class Trainer:
         while iteration < tcfg.train_iters:
             raw = next(data_iter)
             batch = to_gato_batch(raw)
+            if self.mesh is not None and jax.process_count() > 1:
+                # assemble per-host shards into global arrays over the mesh
+                from jax.experimental import multihost_utils
+                from jax.sharding import PartitionSpec as P
+
+                batch = multihost_utils.host_local_array_to_global_array(
+                    batch, self.mesh, P(None, "data"))
             if tokens_per_batch is None:
                 tokens_per_batch = sum(
                     int(np.prod(v.tokens.shape))

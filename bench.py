@@ -43,6 +43,9 @@ def main() -> None:
                          "16 fits the 1.2B KV cache in one v5e chip's HBM)")
     ap.add_argument("--mode", choices=["eval", "train"], default="eval",
                     help="eval: RL actions/sec; train: pretrain tokens/sec/chip")
+    ap.add_argument("--micro", type=int, default=4,
+                    help="train mode: per-chip micro batch size")
+    ap.add_argument("--no-remat", action="store_true")
     args = ap.parse_args()
 
     if args.mode == "train":
@@ -180,9 +183,9 @@ def bench_train(args) -> None:
     else:
         cfg = db1_1p2b()
         cfg.model.param_dtype = "bfloat16"
-        cfg.model.remat = True
+        cfg.model.remat = not args.no_remat
         cfg.train.optimizer.adam_mu_dtype = "bfloat16"
-        micro, accum = 4, 1  # per-chip micro 4 (reference micro batch 4)
+        micro, accum = args.micro, 1
 
     n_dev = len(jax.devices())
     cfg.mesh.model_parallel = 1
