@@ -63,6 +63,20 @@ class ActionDecoder:
             partial(_decode_step, model, self.action_length,
                     self.use_kv_cache)
         )
+        # r_net(r) is input-independent: precompute per decode geometry
+        # (one [n_layer, klen, H, Dh] tensor per qlen) and reuse every step
+        self._rk_cache = {}
+        self._jit_rk = jax.jit(
+            lambda v, q: model.apply(v, q, method=TransformerXL.precompute_rk),
+            static_argnums=(1,))
+
+    def _rk_for(self, qlen: int):
+        if not self.use_kv_cache:
+            return None
+        if qlen not in self._rk_cache:
+            self._rk_cache[qlen] = self._jit_rk(
+                {"params": self.params}, qlen)
+        return self._rk_cache[qlen]
 
     def init_mems(self, batch_size: int = 1):
         method = (TransformerXL.init_kv_cache if self.use_kv_cache
@@ -117,29 +131,40 @@ class ActionDecoder:
                   if prime_images is not None else None)
         act_tokens, new_mems = self._jit_decode(
             {"params": self.params}, tokens, pos, mems,
-            jnp.asarray(bias), images)
+            jnp.asarray(bias), images,
+            self._rk_for(tokens.shape[1]), self._rk_for(1))
         act_tokens = np.asarray(act_tokens)
         return (act_tokens[0] if single else act_tokens), new_mems
 
 
 def _decode_step(model, action_length, use_kv_cache, variables, tokens, pos,
-                 mems, bias, images):
+                 mems, bias, images, rk_prime=None, rk_step=None):
     """prime forward + scan over action dims, entirely on device.
 
     tokens/pos: [B, q]; bias: [B, V]; returns ([B, action_length], mems)."""
-    method = (TransformerXL.decode_rl_kv if use_kv_cache
-              else TransformerXL.decode_rl)
     b = tokens.shape[0]
-    logits, mems = model.apply(
-        variables, tokens, pos, mems, images, method=method)
+    if use_kv_cache:
+        logits, mems = model.apply(
+            variables, tokens, pos, mems, images, rk_prime,
+            method=TransformerXL.decode_rl_kv)
+    else:
+        logits, mems = model.apply(
+            variables, tokens, pos, mems, images,
+            method=TransformerXL.decode_rl)
     tok0 = jnp.argmax(logits + bias, axis=-1).astype(jnp.int32)  # [B]
 
     zero_pos = jnp.zeros((b, 1), jnp.int32)
 
     def body(carry, _):
         tok, mems = carry
-        lg, mems = model.apply(
-            variables, tok[:, None], zero_pos, mems, method=method)
+        if use_kv_cache:
+            lg, mems = model.apply(
+                variables, tok[:, None], zero_pos, mems, None, rk_step,
+                method=TransformerXL.decode_rl_kv)
+        else:
+            lg, mems = model.apply(
+                variables, tok[:, None], zero_pos, mems,
+                method=TransformerXL.decode_rl)
         nxt = jnp.argmax(lg + bias, axis=-1).astype(jnp.int32)
         return (nxt, mems), nxt
 

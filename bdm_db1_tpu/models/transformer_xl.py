@@ -157,9 +157,16 @@ class RelMultiHeadAttn(nn.Module):
         qlen = x.shape[1]
         b = x.shape[0]
         aux = None
+        rk_pre = None
         if kv_mode:
-            # project only the new tokens; splice cached K/V in front
-            k_cache, v_cache = mem
+            # project only the new tokens; splice cached K/V in front.
+            # An optional third element carries this layer's precomputed
+            # positional projection (r_net is input-independent — decode
+            # hot path skips 24 [klen,D]x[D,D] matmuls per forward).
+            if len(mem) == 3:
+                k_cache, v_cache, rk_pre = mem
+            else:
+                k_cache, v_cache = mem
             pre = ln(x.astype(dtype)) if cfg.pre_lnorm else x.astype(dtype)
             q, k_x, v_x = jnp.split(qkv_net(pre), 3, axis=-1)
             q = q.reshape(b, qlen, h, dh)
@@ -178,10 +185,14 @@ class RelMultiHeadAttn(nn.Module):
             k = k.reshape(b, klen, h, dh)
             v = v.reshape(b, klen, h, dh)
 
-        r_k = nn.Dense(
-            d, use_bias=False, dtype=dtype, param_dtype=cfg.param_dtype,
-            kernel_init=_part(NORMAL_INIT, ("embed", "qkv")), name="r_net",
-        )(r.astype(dtype)).reshape(klen, h, dh)
+        if rk_pre is not None:
+            r_k = rk_pre.astype(dtype)
+        else:
+            r_k = nn.Dense(
+                d, use_bias=False, dtype=dtype, param_dtype=cfg.param_dtype,
+                kernel_init=_part(NORMAL_INIT, ("embed", "qkv")),
+                name="r_net",
+            )(r.astype(dtype)).reshape(klen, h, dh)
 
         drop_rng = None
         use_dropatt = not deterministic and cfg.dropattn > 0.0
@@ -427,7 +438,8 @@ class TransformerXL(nn.Module):
         return h, new_mems
 
     def trunk_kv(
-        self, h: Array, cache: Dict[str, Array], deterministic: bool = True
+        self, h: Array, cache: Dict[str, Array], deterministic: bool = True,
+        rk: Optional[Array] = None,
     ) -> Tuple[Array, Dict[str, Array]]:
         """KV-cache trunk: identical math to ``trunk`` for post-LN models
         (K/V are per-position projections of the cached hiddens), ~10x
@@ -446,8 +458,13 @@ class TransformerXL(nn.Module):
 
         r_w = getattr(self, "r_w_bias", None)
         r_r = getattr(self, "r_r_bias", None)
+        if rk is not None:
+            assert rk.shape[1] == klen, (rk.shape, klen)
+            mem_xs = (cache["k"], cache["v"], rk)
+        else:
+            mem_xs = (cache["k"], cache["v"])
         h, (k_x, v_x) = self.layers(
-            h, (cache["k"], cache["v"]), r, mask, r_w, r_r, deterministic)
+            h, mem_xs, r, mask, r_w, r_r, deterministic)
         new_cache = {
             "k": jax.lax.stop_gradient(
                 jnp.concatenate([cache["k"], k_x], axis=2)[:, :, -cfg.mem_len:]),
@@ -475,13 +492,29 @@ class TransformerXL(nn.Module):
         position_id: Array,     # [B, q]
         cache: Dict[str, Array],
         images: Optional[Array] = None,
+        rk: Optional[Array] = None,   # [n_layer, klen, H, Dh] precomputed
     ) -> Tuple[Array, Dict[str, Array]]:
         """Fast autoregressive eval step over the K/V cache."""
         sub = RLTaskBatch(tokens=tokens, position_id=position_id, images=images)
         h = self.embed_rl(sub)
-        h, new_cache = self.trunk_kv(h, cache, deterministic=True)
+        h, new_cache = self.trunk_kv(h, cache, deterministic=True, rk=rk)
         logits = self.logits(h[:, -1:, :])[:, 0, :]
         return logits, new_cache
+
+    def precompute_rk(self, qlen: int) -> Array:
+        """Per-layer positional projections [n_layer, klen, H, Dh] for a
+        decode geometry (r_net is input-independent)."""
+        cfg = self.cfg
+        klen = cfg.mem_len + qlen
+        r = relative_positional_embedding(
+            klen, cfg.n_embed, cfg.effective_clamp_len,
+            dtype=jnp.dtype(cfg.dtype))
+        kernels = self.variables["params"]["layers"]["attn"]["r_net"]["kernel"]
+        kernels = getattr(kernels, "value", kernels)
+        rk = jnp.einsum(
+            "kd,lde->lke", r,
+            kernels.astype(jnp.dtype(cfg.dtype)))
+        return rk.reshape(cfg.n_layer, klen, cfg.n_head, cfg.d_head)
 
     def prime_ic_kv(
         self, prompt: Array, images: Array, text: Array,

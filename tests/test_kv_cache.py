@@ -58,3 +58,26 @@ def test_kv_cache_shapes_and_slide():
     assert cache2["k"].shape == cache["k"].shape
     # the new tokens' K entered the cache tail
     assert not np.allclose(np.asarray(cache2["k"][:, :, -5:]), 0.0)
+
+
+def test_precomputed_rk_matches_inlayer():
+    cfg = db1_tiny()
+    cfg.model.dtype = "float32"
+    model = TransformerXL(cfg.model, cfg.vocab, cfg.vision)
+    tok0 = jnp.zeros((1, cfg.model.n_position), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), {"rl": RLTaskBatch(
+        tokens=tok0, position_id=tok0, loss_mask=tok0, label=tok0)})["params"]
+    cache = model.apply({"params": params}, 1,
+                        method=TransformerXL.init_kv_cache)
+    tokens = jnp.asarray([[7, 8, 9]], jnp.int32)
+    pos = jnp.asarray([[1, 2, 0]], jnp.int32)
+    lg_a, _ = model.apply({"params": params}, tokens, pos, cache,
+                          method=TransformerXL.decode_rl_kv)
+    rk = model.apply({"params": params}, 3,
+                     method=TransformerXL.precompute_rk)
+    m = cfg.model
+    assert rk.shape == (m.n_layer, m.mem_len + 3, m.n_head, m.d_head)
+    lg_b, _ = model.apply({"params": params}, tokens, pos, cache, None, rk,
+                          method=TransformerXL.decode_rl_kv)
+    np.testing.assert_allclose(np.asarray(lg_b), np.asarray(lg_a),
+                               rtol=1e-5, atol=1e-5)
