@@ -50,6 +50,8 @@ def _rel_attention_kernel(
     rw_ref,     # [1, d]      r_w_bias row for this head
     rr_ref,     # [1, d]      r_r_bias row for this head
     o_ref,      # [bq, d]
+    m_ref=None,  # [1, bq] fp32 softmax row max (training: saved for bwd)
+    l_ref=None,  # [1, bq] fp32 softmax row normalizer
     *,
     block_k: int,
     qlen: int,
@@ -125,6 +127,175 @@ def _rel_attention_kernel(
     acc0 = jnp.zeros((bq, d), jnp.float32)
     m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
     o_ref[:] = (acc / jnp.maximum(l, 1e-30)[:, None]).astype(o_ref.dtype)
+    if m_ref is not None:
+        m_ref[0, :] = m
+        l_ref[0, :] = l
+
+
+def _tile_scores(q, k_blk, rk_band, rw, rr, *, iq, jb, bq, block_k, qlen,
+                 klen, mem_len, same_length, scale):
+    """Recompute one (i-block, j-block) score tile + mask + skew pieces.
+    Shared by the backward kernels. Returns (scores, banned, qr)."""
+    band_rows = bq + block_k
+    qf = q.astype(jnp.float32)
+    qw = qf + rw
+    qr = qf + rr
+    ac = jax.lax.dot_general(
+        qw, k_blk, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    qr_band = jax.lax.dot_general(
+        qr, rk_band, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    rolled = pltpu.roll(
+        qr_band, band_rows - (bq - 1), axis=1, stride=1, stride_axis=0)
+    bd = rolled[:, :block_k]
+    scores = (ac + bd) * scale
+
+    row_ids = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 0)
+    col_ids = jb * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (bq, block_k), 1)
+    mlen = klen - qlen
+    banned = col_ids > (row_ids + mlen)
+    if same_length:
+        mask_len = klen - mem_len
+        shift = qlen - mask_len if mask_len > 0 else qlen
+        banned = banned | (col_ids < (row_ids - (shift - 1)))
+    scores = jnp.where(banned, NEG_INF, scores)
+    return scores, qr, qw
+
+
+def _row_reversal(bq):
+    """Anti-identity permutation matrix (Mosaic has no `rev`; a reversal
+    matmul rides the MXU instead)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (bq, bq), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (bq, bq), 1)
+    return (r + c == bq - 1).astype(jnp.float32)
+
+
+def _skew_to_band(dsc, bq, block_k):
+    """[bq, bk] tile -> [bq, bq+bk] band layout:
+    out[i, (bq-1-i)+j] = dsc[i, j] (inverse of the forward rel-shift roll).
+    Strided rolls only shift one way, so flip rows (reversal matmul), roll
+    with +1 stride, flip back."""
+    band_rows = bq + block_k
+    padded = jnp.pad(dsc, ((0, 0), (0, band_rows - block_k)))
+    P = _row_reversal(bq)
+    flipped = jax.lax.dot_general(
+        P, padded, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    rolled = pltpu.roll(flipped, 0, axis=1, stride=1, stride_axis=0)
+    return jax.lax.dot_general(
+        P, rolled, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _rel_attention_bwd_dq_kernel(
+    q_ref, k_ref, v_ref, rk_ref, rw_ref, rr_ref, do_ref, m_ref, l_ref,
+    delta_ref, dq_ac_ref, dq_bd_ref, *,
+    block_k, qlen, klen, mem_len, same_length, scale,
+):
+    bq, d = q_ref.shape
+    iq = pl.program_id(1)
+    band_rows = bq + block_k
+    q = q_ref[:]
+    rw = rw_ref[0, :].astype(jnp.float32)
+    rr = rr_ref[0, :].astype(jnp.float32)
+    do = do_ref[:].astype(jnp.float32)
+    m = m_ref[0, :]
+    l = jnp.maximum(l_ref[0, :], 1e-30)
+    delta = delta_ref[0, :]
+    num_kb = klen // block_k
+
+    def body(jb, carry):
+        dq_ac, dq_bd = carry
+        k_blk = k_ref[pl.ds(jb * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[pl.ds(jb * block_k, block_k), :].astype(jnp.float32)
+        band_start = pl.multiple_of(
+            jb * block_k - iq * bq + (qlen - bq), math.gcd(bq, block_k))
+        rk_band = rk_ref[pl.ds(band_start, band_rows), :].astype(jnp.float32)
+        scores, qr, qw = _tile_scores(
+            q, k_blk, rk_band, rw, rr, iq=iq, jb=jb, bq=bq,
+            block_k=block_k, qlen=qlen, klen=klen, mem_len=mem_len,
+            same_length=same_length, scale=scale)
+        p = jnp.exp(scores - m[:, None]) / l[:, None]
+        dp = jax.lax.dot_general(
+            do, v_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dsc = p * (dp - delta[:, None]) * scale
+        dq_ac = dq_ac + jax.lax.dot_general(
+            dsc, k_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dsk = _skew_to_band(dsc, bq, block_k)
+        dq_bd = dq_bd + jax.lax.dot_general(
+            dsk, rk_band, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return dq_ac, dq_bd
+
+    zero = jnp.zeros((bq, d), jnp.float32)
+    dq_ac, dq_bd = jax.lax.fori_loop(0, num_kb, body, (zero, zero))
+    dq_ac_ref[:] = dq_ac.astype(dq_ac_ref.dtype)
+    dq_bd_ref[:] = dq_bd.astype(dq_bd_ref.dtype)
+
+
+def _rel_attention_bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, rk_ref, rw_ref, rr_ref, do_ref, m_ref, l_ref,
+    delta_ref, dk_ref, dv_ref, drk_part_ref, drk_scratch, *,
+    block_q, qlen, klen, mem_len, same_length, scale,
+):
+    block_k, d = dk_ref.shape
+    jb = pl.program_id(1)
+    bq = block_q
+    band_rows = bq + block_k
+    part_rows = qlen + block_k
+    rw = rw_ref[0, :].astype(jnp.float32)
+    rr = rr_ref[0, :].astype(jnp.float32)
+    k_blk = k_ref[:].astype(jnp.float32)   # this j-block only
+    v_blk = v_ref[:].astype(jnp.float32)
+    num_qb = qlen // bq
+
+    drk_scratch[:] = jnp.zeros((part_rows, d), jnp.float32)
+
+    def body(iq, carry):
+        dk, dv = carry
+        q_blk = q_ref[pl.ds(iq * bq, bq), :]
+        do = do_ref[pl.ds(iq * bq, bq), :].astype(jnp.float32)
+        m = m_ref[0, pl.ds(iq * bq, bq)]
+        l = jnp.maximum(l_ref[0, pl.ds(iq * bq, bq)], 1e-30)
+        delta = delta_ref[0, pl.ds(iq * bq, bq)]
+        band_start = pl.multiple_of(
+            jb * block_k - iq * bq + (qlen - bq), math.gcd(bq, block_k))
+        rk_band = rk_ref[pl.ds(band_start, band_rows), :].astype(jnp.float32)
+        scores, qr, qw = _tile_scores(
+            q_blk, k_blk, rk_band, rw, rr, iq=iq, jb=jb, bq=bq,
+            block_k=block_k, qlen=qlen, klen=klen, mem_len=mem_len,
+            same_length=same_length, scale=scale)
+        p = jnp.exp(scores - m[:, None]) / l[:, None]
+        dv = dv + jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(
+            do, v_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dsc = p * (dp - delta[:, None]) * scale
+        dk = dk + jax.lax.dot_general(
+            dsc, qw, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        # drk: band rows [offset, offset+band) of this j-block's partial,
+        # offset = band_start - jb*bk = (qlen - bq) - iq*bq  (>= 0, mult. bq)
+        dsk = _skew_to_band(dsc, bq, block_k)
+        contrib = jax.lax.dot_general(
+            dsk, qr, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [band_rows, d]
+        offset = pl.multiple_of((qlen - bq) - iq * bq, bq)
+        drk_scratch[pl.ds(offset, band_rows), :] = (
+            drk_scratch[pl.ds(offset, band_rows), :] + contrib)
+        return dk, dv
+
+    zero = jnp.zeros((block_k, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, num_qb, body, (zero, zero))
+    dk_ref[:] = dk.astype(dk_ref.dtype)
+    dv_ref[:] = dv.astype(dv_ref.dtype)
+    drk_part_ref[:] = drk_scratch[:].astype(drk_part_ref.dtype)
 
 
 def pallas_applicable(qlen: int, klen: int,
@@ -135,20 +306,7 @@ def pallas_applicable(qlen: int, klen: int,
             and qlen >= 8 and klen >= 128)
 
 
-def _pallas_rel_attention_fwd_impl(
-    q, k, v, rk, r_w_bias, r_r_bias, *,
-    mem_len: int, same_length: bool, scale: float,
-    block_q: int = DEFAULT_BLOCK_Q, block_k: int = DEFAULT_BLOCK_K,
-    interpret: bool = False,
-):
-    """q: [B, qlen, H, Dh]; k/v: [B, klen, H, Dh]; rk: [klen, H, Dh];
-    biases [H, Dh]. Returns [B, qlen, H, Dh]."""
-    b, qlen, h, dh = q.shape
-    klen = k.shape[1]
-    block_q = min(block_q, qlen)
-    block_k = min(block_k, klen)
-    assert pallas_applicable(qlen, klen, block_q, block_k)
-
+def _prep_inputs(q, k, v, rk, r_w_bias, r_r_bias, qlen, klen, dh, b, h):
     qh = q.transpose(0, 2, 1, 3).reshape(b * h, qlen, dh)
     kh = k.transpose(0, 2, 1, 3).reshape(b * h, klen, dh)
     vh = v.transpose(0, 2, 1, 3).reshape(b * h, klen, dh)
@@ -161,28 +319,141 @@ def _pallas_rel_attention_fwd_impl(
         (b, h, rklen, dh)).reshape(b * h, rklen, dh)
     rw = jnp.tile(r_w_bias, (b, 1)).reshape(b * h, 1, dh)
     rr = jnp.tile(r_r_bias, (b, 1)).reshape(b * h, 1, dh)
+    return qh, kh, vh, rkh, rw, rr, rklen
+
+
+def _pallas_rel_attention_fwd_impl(
+    q, k, v, rk, r_w_bias, r_r_bias, *,
+    mem_len: int, same_length: bool, scale: float,
+    block_q: int = DEFAULT_BLOCK_Q, block_k: int = DEFAULT_BLOCK_K,
+    interpret: bool = False, with_stats: bool = False,
+):
+    """q: [B, qlen, H, Dh]; k/v: [B, klen, H, Dh]; rk: [klen, H, Dh];
+    biases [H, Dh]. Returns [B, qlen, H, Dh] (+ (m, l) [bh, 1, qlen] fp32
+    softmax stats when with_stats, for the backward kernels)."""
+    b, qlen, h, dh = q.shape
+    klen = k.shape[1]
+    block_q = min(block_q, qlen)
+    block_k = min(block_k, klen)
+    assert pallas_applicable(qlen, klen, block_q, block_k)
+
+    qh, kh, vh, rkh, rw, rr, rklen = _prep_inputs(
+        q, k, v, rk, r_w_bias, r_r_bias, qlen, klen, dh, b, h)
 
     grid = (b * h, qlen // block_q)
     kernel = functools.partial(
         _rel_attention_kernel, block_k=block_k, qlen=qlen, klen=klen,
         mem_len=mem_len, same_length=same_length, scale=scale)
 
+    in_specs = [
+        pl.BlockSpec((None, block_q, dh), lambda bh, i: (bh, i, 0)),
+        pl.BlockSpec((None, klen, dh), lambda bh, i: (bh, 0, 0)),
+        pl.BlockSpec((None, klen, dh), lambda bh, i: (bh, 0, 0)),
+        pl.BlockSpec((None, rklen, dh), lambda bh, i: (bh, 0, 0)),
+        pl.BlockSpec((None, 1, dh), lambda bh, i: (bh, 0, 0)),
+        pl.BlockSpec((None, 1, dh), lambda bh, i: (bh, 0, 0)),
+    ]
+    o_spec = pl.BlockSpec((None, block_q, dh), lambda bh, i: (bh, i, 0))
+    o_shape = jax.ShapeDtypeStruct((b * h, qlen, dh), q.dtype)
+    if with_stats:
+        stat_spec = pl.BlockSpec((None, 1, block_q), lambda bh, i: (bh, 0, i))
+        stat_shape = jax.ShapeDtypeStruct((b * h, 1, qlen), jnp.float32)
+        out, m, l = pl.pallas_call(
+            kernel, grid=grid, in_specs=in_specs,
+            out_specs=(o_spec, stat_spec, stat_spec),
+            out_shape=(o_shape, stat_shape, stat_shape),
+            interpret=interpret,
+        )(qh, kh, vh, rkh, rw, rr)
+        return out.reshape(b, h, qlen, dh).transpose(0, 2, 1, 3), (m, l)
     out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((None, block_q, dh), lambda bh, i: (bh, i, 0)),
-            pl.BlockSpec((None, klen, dh), lambda bh, i: (bh, 0, 0)),
-            pl.BlockSpec((None, klen, dh), lambda bh, i: (bh, 0, 0)),
-            pl.BlockSpec((None, rklen, dh), lambda bh, i: (bh, 0, 0)),
-            pl.BlockSpec((None, 1, dh), lambda bh, i: (bh, 0, 0)),
-            pl.BlockSpec((None, 1, dh), lambda bh, i: (bh, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((None, block_q, dh), lambda bh, i: (bh, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, qlen, dh), q.dtype),
-        interpret=interpret,
+        kernel, grid=grid, in_specs=in_specs,
+        out_specs=o_spec, out_shape=o_shape, interpret=interpret,
     )(qh, kh, vh, rkh, rw, rr)
     return out.reshape(b, h, qlen, dh).transpose(0, 2, 1, 3)
+
+
+def _pallas_rel_attention_bwd_impl(
+    q, k, v, rk, r_w_bias, r_r_bias, out, m, l, g, *,
+    mem_len: int, same_length: bool, scale: float,
+    block_q: int, block_k: int, interpret: bool,
+):
+    """Returns (dq, dk, dv, drk, drw, drr)."""
+    b, qlen, h, dh = q.shape
+    klen = k.shape[1]
+    block_q = min(block_q, qlen)
+    block_k = min(block_k, klen)
+
+    qh, kh, vh, rkh, rw, rr, rklen = _prep_inputs(
+        q, k, v, rk, r_w_bias, r_r_bias, qlen, klen, dh, b, h)
+    do = g.transpose(0, 2, 1, 3).reshape(b * h, qlen, dh)
+    oh = out.transpose(0, 2, 1, 3).reshape(b * h, qlen, dh)
+    delta = jnp.sum(
+        do.astype(jnp.float32) * oh.astype(jnp.float32), axis=-1
+    )[:, None, :]  # [bh, 1, qlen]
+
+    common = dict(qlen=qlen, klen=klen, mem_len=mem_len,
+                  same_length=same_length, scale=scale)
+    full = lambda n: pl.BlockSpec((None, n, dh), lambda bh, i: (bh, 0, 0))
+    stat = pl.BlockSpec((None, 1, qlen), lambda bh, i: (bh, 0, 0))
+
+    # ---- dq (+ the two bias components) ---------------------------------
+    dq_kernel = functools.partial(
+        _rel_attention_bwd_dq_kernel, block_k=block_k, **common)
+    qblk = pl.BlockSpec((None, block_q, dh), lambda bh, i: (bh, i, 0))
+    stat_blk = pl.BlockSpec((None, 1, block_q), lambda bh, i: (bh, 0, i))
+    dq_ac, dq_bd = pl.pallas_call(
+        dq_kernel,
+        grid=(b * h, qlen // block_q),
+        in_specs=[qblk, full(klen), full(klen), full(rklen),
+                  full(1), full(1), qblk, stat_blk, stat_blk, stat_blk],
+        out_specs=(qblk, qblk),
+        out_shape=(jax.ShapeDtypeStruct((b * h, qlen, dh), jnp.float32),
+                   jax.ShapeDtypeStruct((b * h, qlen, dh), jnp.float32)),
+        interpret=interpret,
+    )(qh, kh, vh, rkh, rw, rr, do, m, l, delta)
+
+    # ---- dk, dv, drk partials -------------------------------------------
+    part_rows = qlen + block_k
+    dkv_kernel = functools.partial(
+        _rel_attention_bwd_dkv_kernel, block_q=block_q, **common)
+    kblk = pl.BlockSpec((None, block_k, dh), lambda bh, j: (bh, j, 0))
+    nk = klen // block_k
+    dk, dv, drk_parts = pl.pallas_call(
+        dkv_kernel,
+        grid=(b * h, nk),
+        in_specs=[full(qlen), kblk, kblk, full(rklen),
+                  full(1), full(1), full(qlen), stat, stat, stat],
+        out_specs=(kblk, kblk,
+                   pl.BlockSpec((None, None, part_rows, dh),
+                                lambda bh, j: (bh, j, 0, 0))),
+        out_shape=(jax.ShapeDtypeStruct((b * h, klen, dh), jnp.float32),
+                   jax.ShapeDtypeStruct((b * h, klen, dh), jnp.float32),
+                   jax.ShapeDtypeStruct((b * h, nk, part_rows, dh),
+                                        jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((part_rows, dh), jnp.float32)],
+        interpret=interpret,
+    )(qh, kh, vh, rkh, rw, rr, do, m, l, delta)
+
+    # assemble drk: partial j covers padded-rk rows [j*bk, j*bk + part_rows)
+    drk_full = jnp.zeros((b * h, rklen, dh), jnp.float32)
+    for j in range(nk):
+        drk_full = jax.lax.dynamic_update_slice(
+            drk_full,
+            jax.lax.dynamic_slice(
+                drk_full, (0, j * block_k, 0), (b * h, part_rows, dh)
+            ) + drk_parts[:, j],
+            (0, j * block_k, 0))
+    drk = drk_full[:, :klen].reshape(b, h, klen, dh).sum(axis=0)
+    drk = drk.transpose(1, 0, 2)  # [klen, h, dh]
+
+    dq = (dq_ac + dq_bd).reshape(b, h, qlen, dh).transpose(0, 2, 1, 3)
+    drw = dq_ac.reshape(b, h, qlen, dh).sum(axis=(0, 2))
+    drr = dq_bd.reshape(b, h, qlen, dh).sum(axis=(0, 2))
+    dk_out = dk.reshape(b, h, klen, dh).transpose(0, 2, 1, 3)
+    dv_out = dv.reshape(b, h, klen, dh).transpose(0, 2, 1, 3)
+    return (dq.astype(q.dtype), dk_out.astype(k.dtype),
+            dv_out.astype(v.dtype), drk.astype(rk.dtype),
+            drw.astype(r_w_bias.dtype), drr.astype(r_r_bias.dtype))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
@@ -210,20 +481,20 @@ def _ref_attention(q, k, v, rk, r_w_bias, r_r_bias, mem_len, same_length,
 
 def _fwd(q, k, v, rk, r_w_bias, r_r_bias, mem_len, same_length, scale,
          block_q, block_k, interpret):
-    out = _pallas_rel_attention_fwd_impl(
+    out, (m, l) = _pallas_rel_attention_fwd_impl(
         q, k, v, rk, r_w_bias, r_r_bias, mem_len=mem_len,
         same_length=same_length, scale=scale, block_q=block_q,
-        block_k=block_k, interpret=interpret)
-    return out, (q, k, v, rk, r_w_bias, r_r_bias)
+        block_k=block_k, interpret=interpret, with_stats=True)
+    return out, (q, k, v, rk, r_w_bias, r_r_bias, out, m, l)
 
 
 def _bwd(mem_len, same_length, scale, block_q, block_k, interpret,
          residuals, g):
-    q, k, v, rk, r_w_bias, r_r_bias = residuals
-    _, vjp = jax.vjp(
-        lambda *args: _ref_attention(*args, mem_len, same_length, scale),
-        q, k, v, rk, r_w_bias, r_r_bias)
-    return vjp(g)
+    q, k, v, rk, r_w_bias, r_r_bias, out, m, l = residuals
+    return _pallas_rel_attention_bwd_impl(
+        q, k, v, rk, r_w_bias, r_r_bias, out, m, l, g,
+        mem_len=mem_len, same_length=same_length, scale=scale,
+        block_q=block_q, block_k=block_k, interpret=interpret)
 
 
 pallas_rel_attention.defvjp(_fwd, _bwd)

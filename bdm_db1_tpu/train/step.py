@@ -103,11 +103,16 @@ def make_loss_fn(model) -> Callable:
     return loss_fn
 
 
-def make_train_step(model, tx: optax.GradientTransformation) -> Callable:
+def make_train_step(model, tx: optax.GradientTransformation,
+                    with_grad_norm: bool = False) -> Callable:
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
     ``batch`` leaves carry a leading [accum, ...] axis; the scan accumulates
-    fp32 grads across micro-batches before one optimizer update."""
+    fp32 grads across micro-batches before one optimizer update. accum == 1
+    skips the accumulation machinery entirely (3 fewer full-parameter HBM
+    passes). grad_norm is off by default — optax's clip already computes it
+    internally; a second ``global_norm`` is another full pass over 1.2B
+    params."""
     loss_fn = make_loss_fn(model)
 
     def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
@@ -116,28 +121,30 @@ def make_train_step(model, tx: optax.GradientTransformation) -> Callable:
 
         grad_fn = jax.value_and_grad(loss_fn)
 
-        def body(carry, xs):
-            gsum, lsum = carry
-            mb, r = xs
-            loss, grads = grad_fn(state.params, mb, r)
-            gsum = jax.tree.map(
-                lambda a, g: a + g.astype(jnp.float32), gsum, grads)
-            return (gsum, lsum + loss), None
+        if accum == 1:
+            micro = jax.tree.map(lambda x: x[0], batch)
+            loss, grads = grad_fn(state.params, micro, rngs[0])
+        else:
+            def body(carry, xs):
+                gsum, lsum = carry
+                mb, r = xs
+                l, grads = grad_fn(state.params, mb, r)
+                gsum = jax.tree.map(
+                    lambda a, g: a + g.astype(jnp.float32), gsum, grads)
+                return (gsum, lsum + l), None
 
-        zeros = jax.tree.map(
-            lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
-        (gsum, lsum), _ = jax.lax.scan(
-            body, (zeros, jnp.zeros([], jnp.float32)), (batch, rngs))
-        grads = jax.tree.map(lambda g: g / accum, gsum)
-        loss = lsum / accum
+            zeros = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+            (gsum, lsum), _ = jax.lax.scan(
+                body, (zeros, jnp.zeros([], jnp.float32)), (batch, rngs))
+            grads = jax.tree.map(lambda g: g / accum, gsum)
+            loss = lsum / accum
 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        metrics = {
-            "loss": loss,
-            "grad_norm": optax.global_norm(grads),
-            "step": state.step,
-        }
+        metrics = {"loss": loss, "step": state.step}
+        if with_grad_norm:
+            metrics["grad_norm"] = optax.global_norm(grads)
         return state.replace(
             step=state.step + 1, params=params, opt_state=opt_state), metrics
 

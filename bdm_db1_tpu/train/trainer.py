@@ -108,11 +108,10 @@ class Trainer:
                 loss = float(metrics["loss"])
                 dt = time.perf_counter() - t_window
                 tps = tokens_per_batch * window_iters / max(dt, 1e-9)
-                self.logger.log(iteration, {
-                    "loss": loss,
-                    "grad_norm": float(metrics["grad_norm"]),
-                    "tokens_per_sec": tps,
-                }, prefix="train/")
+                scalars = {"loss": loss, "tokens_per_sec": tps}
+                if "grad_norm" in metrics:
+                    scalars["grad_norm"] = float(metrics["grad_norm"])
+                self.logger.log(iteration, scalars, prefix="train/")
                 print_rank_0(
                     f"iter {iteration} | loss {loss:.4f} | "
                     f"{tps:,.0f} tok/s")

@@ -44,25 +44,35 @@ def test_pallas_matches_reference(same_length, qlen, klen, mem_len):
         np.asarray(out_p), np.asarray(out_ref), rtol=2e-4, atol=2e-4)
 
 
-def test_pallas_gradients_match_reference():
-    b, h, dh, qlen, klen = 1, 2, 128, 128, 256
+@pytest.mark.parametrize("same_length,qlen,klen,mem_len", [
+    (False, 128, 256, 256),
+    (False, 256, 384, 384),   # multiple i- and j-blocks
+    (True, 256, 512, 256),    # sliding-window mask
+])
+def test_pallas_gradients_match_reference(same_length, qlen, klen, mem_len):
+    b, h, dh = 1, 2, 128
     q, k, v, rk, rw, rr = _inputs(b, qlen, klen, h, dh, seed=1)
     scale = 1.0 / dh ** 0.5
-    mask = causal_mask(qlen, klen)
+    mask = (same_length_mask(qlen, klen, mem_len) if same_length
+            else causal_mask(qlen, klen))
+    g = jnp.asarray(
+        np.random.RandomState(3).randn(b, qlen, h, dh).astype(np.float32))
 
     def loss_p(q, k, v, rk, rw, rr):
-        return pallas_rel_attention(
-            q, k, v, rk, rw, rr, klen, False, scale, 128, 128, True).sum()
+        return (pallas_rel_attention(
+            q, k, v, rk, rw, rr, mem_len, same_length, scale,
+            128, 128, True) * g).sum()
 
     def loss_r(q, k, v, rk, rw, rr):
-        return rel_attention(q, k, v, rk, rw, rr, mask, scale=scale,
-                             compute_dtype=jnp.float32).sum()
+        return (rel_attention(q, k, v, rk, rw, rr, mask, scale=scale,
+                              compute_dtype=jnp.float32) * g).sum()
 
     gp = jax.grad(loss_p, argnums=(0, 1, 2, 3, 4, 5))(q, k, v, rk, rw, rr)
     gr = jax.grad(loss_r, argnums=(0, 1, 2, 3, 4, 5))(q, k, v, rk, rw, rr)
-    for a, b_ in zip(gp, gr):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
-                                   rtol=3e-4, atol=3e-4)
+    for name, a, b_ in zip("q k v rk rw rr".split(), gp, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=5e-4, atol=5e-4,
+            err_msg=f"grad mismatch for {name}")
 
 
 def test_applicability_guard():
