@@ -75,6 +75,9 @@ class ModelConfig:
     # rematerialize each decoder layer in backward (jax.checkpoint):
     # trades ~30% step FLOPs for O(n_layer) less activation HBM.
     remat: bool = False
+    # "full": recompute everything; "dots": save matmul outputs, recompute
+    # only elementwise ops (cheaper backward, ~B*1GB more activation HBM)
+    remat_policy: str = "full"
     # TPU numerics: bf16 activations, fp32 attention scores/softmax/loss.
     dtype: str = "bfloat16"
     param_dtype: str = "float32"

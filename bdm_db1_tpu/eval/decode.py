@@ -176,6 +176,31 @@ def _decode_step(model, action_length, use_kv_cache, variables, tokens, pos,
     return act.T, mems
 
 
+class DecoderPool:
+    """Shares compiled decoders across environments with the same decode
+    geometry (obs_len, act_len, action space) — with 870 envs many share
+    geometries, so this caps recompiles at the number of distinct shapes
+    (SURVEY.md §7 hard part 5)."""
+
+    def __init__(self, model, params):
+        self.model = model
+        self.params = params
+        self._cache = {}
+
+    def get(self, tokenized_env) -> "ActionDecoder":
+        from bdm_db1_tpu.eval.envs import is_discrete_space
+
+        discrete = is_discrete_space(tokenized_env.action_space)
+        key = (
+            tokenized_env.obs_length, tokenized_env.action_length, discrete,
+            tokenized_env.action_space.n if discrete else None,
+        )
+        if key not in self._cache:
+            self._cache[key] = build_decoder_for_env(
+                self.model, self.params, tokenized_env)
+        return self._cache[key]
+
+
 def build_decoder_for_env(model, params, tokenized_env) -> ActionDecoder:
     from bdm_db1_tpu.eval.envs import is_discrete_space
 

@@ -109,6 +109,9 @@ def main(cfg: Optional[DB1Config] = None) -> List[dict]:
             env, ds,
             eval_prompt_strategy=cfg.eval.prompt_strategy.split(";")[-1])
 
+    from bdm_db1_tpu.eval.decode import DecoderPool
+
+    pool = DecoderPool(model, params)
     results = []
     out_path = None
     if cfg.train.save_dir:
@@ -117,6 +120,7 @@ def main(cfg: Optional[DB1Config] = None) -> List[dict]:
     for name in shard_envs(env_names):
         res = evaluate_env(
             model, params, lambda n=name: make_tenv(n),
+            decoder_pool=pool,
             num_trials=cfg.eval.num_trials, seed=cfg.eval.seed,
             use_prompt=cfg.eval.use_prompt,
             strict_length=cfg.eval.strict_length,

@@ -91,12 +91,14 @@ def evaluate_env(
     strict_length: bool = True,
     minimal_expert_data: bool = False,
     max_step_size: Optional[int] = None,
+    decoder_pool=None,
 ) -> Dict[str, float]:
     """Average return/length over trials (reference: evaluate_rl.py:413-449)."""
     env = make_tokenized_env()
     env.seed(seed)
     rng = np.random.RandomState(seed)
-    decoder = build_decoder_for_env(model, params, env)
+    decoder = (decoder_pool.get(env) if decoder_pool is not None
+               else build_decoder_for_env(model, params, env))
     rets, lens = [], []
     for _ in range(num_trials):
         res = run_episode(
@@ -201,9 +203,12 @@ def parallel_evaluate_envs(
     make_tokenized_env: Callable[[str], TokenizedEnv], **kwargs
 ) -> List[Dict[str, float]]:
     """Evaluate this host's env shard; gather across hosts when distributed."""
+    from bdm_db1_tpu.eval.decode import DecoderPool
+
+    pool = kwargs.pop("decoder_pool", None) or DecoderPool(model, params)
     local = [
         evaluate_env(model, params, lambda n=name: make_tokenized_env(n),
-                     **kwargs)
+                     decoder_pool=pool, **kwargs)
         for name in shard_envs(env_names)
     ]
     if jax.process_count() > 1:  # pragma: no cover (multi-host only)

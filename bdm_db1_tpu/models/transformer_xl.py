@@ -325,9 +325,12 @@ class TransformerXL(nn.Module):
         if cfg.remat:
             # recompute each layer in backward: activation memory drops from
             # O(n_layer * B * L * D) to O(B * L * D)
+            policy = None
+            if cfg.remat_policy == "dots":
+                policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
             layer_cls = nn.remat(
                 DecoderLayer, static_argnums=(7,),
-                prevent_cse=False,
+                prevent_cse=False, policy=policy,
             )
         ScanLayers = nn.scan(
             layer_cls,

@@ -184,6 +184,7 @@ def bench_train(args) -> None:
         cfg = db1_1p2b()
         cfg.model.param_dtype = "bfloat16"
         cfg.model.remat = not args.no_remat
+        cfg.model.remat_policy = "dots"  # save matmuls, recompute elementwise
         cfg.train.optimizer.adam_mu_dtype = "bfloat16"
         micro, accum = args.micro, 1
 
@@ -224,14 +225,22 @@ def bench_train(args) -> None:
         times.append(time.perf_counter() - t0)
     tokens_per_batch = accum * micro * n_dev * L
     tps_chip = tokens_per_batch / float(np.median(times)) / n_dev
-    # A100 fp16 DDP estimate for 1.2B @ 40% MFU: ~14k tok/s/GPU
-    baseline = 14000.0
+    # MFU at ~8 FLOPs/param/token (fwd+bwd+remat recompute)
+    n_params = 1.217e9 if not args.smoke else 1.5e5
+    peak = 197e12 if not args.smoke else 1e12  # v5e bf16 peak
+    mfu = tps_chip * 8 * n_params / peak
+    # The reference publishes no training throughput. Baseline = an A100
+    # DeepSpeed fp16 DDP estimate at the same 40% MFU on a 312-TFLOP chip
+    # (~16k tok/s/GPU); vs_baseline therefore mostly reflects the v5e:A100
+    # peak-FLOPs ratio (0.63) — compare mfu for an apples-to-apples view.
+    baseline = 16000.0
     print(json.dumps({
         "metric": "pretrain_tokens_per_sec_per_chip_1p2b"
         if not args.smoke else "pretrain_tokens_per_sec_per_chip_smoke",
         "value": round(tps_chip, 1),
         "unit": "tokens/sec/chip",
         "vs_baseline": round(tps_chip / baseline, 3),
+        "mfu": round(mfu, 3),
     }))
 
 

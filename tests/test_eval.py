@@ -118,3 +118,22 @@ def test_shard_envs_partition():
     flat = sorted(x for s in shards for x in s)
     assert flat == sorted(envs)
     assert max(len(s) for s in shards) - min(len(s) for s in shards) <= 1
+
+
+def test_decoder_pool_shares_by_geometry():
+    from bdm_db1_tpu.eval.decode import DecoderPool
+
+    cfg, model, params, tenv1 = _setup(
+        FakeContinuousEnv, obs_dim=4, act_dim=2, episode_len=3)
+    pool = DecoderPool(model, params)
+    d1 = pool.get(tenv1)
+    # same geometry -> same decoder object
+    _, _, _, tenv2 = _setup(
+        FakeContinuousEnv, obs_dim=4, act_dim=2, episode_len=5)
+    d2 = pool.get(tenv2)
+    assert d1 is d2
+    # different geometry -> new decoder
+    _, _, _, tenv3 = _setup(
+        FakeDiscreteEnv, obs_dim=3, n_actions=4, episode_len=3)
+    d3 = pool.get(tenv3)
+    assert d3 is not d1
