@@ -78,6 +78,11 @@ class ModelConfig:
     # "full": recompute everything; "dots": save matmul outputs, recompute
     # only elementwise ops (cheaper backward, ~B*1GB more activation HBM)
     remat_policy: str = "full"
+    # Megatron-style sequence parallelism: shard the sequence axis of
+    # activations over the "model" mesh axis between blocks (LN/dropout/
+    # embedding work and activation memory divide by TP; XLA inserts the
+    # all-gathers around attention/FFN).
+    sequence_sharded_activations: bool = False
     # TPU numerics: bf16 activations, fp32 attention scores/softmax/loss.
     dtype: str = "bfloat16"
     param_dtype: str = "float32"

@@ -59,9 +59,12 @@ class ActionDecoder:
         # K/V-cache fast path (exact for post-LN, ~10x cheaper per token);
         # pre-LN falls back to reference-style hidden-state memory.
         self.use_kv_cache = not model.cfg.pre_lnorm and model.cfg.mem_len > 0
+        # donate the memory/cache carry: without this every step copies the
+        # whole [n_layer, B, mem_len, ...] cache (3.2GB at 1.2B, batch 16)
         self._jit_decode = jax.jit(
             partial(_decode_step, model, self.action_length,
-                    self.use_kv_cache)
+                    self.use_kv_cache),
+            donate_argnums=(3,),
         )
         # r_net(r) is input-independent: precompute per decode geometry
         # (one [n_layer, klen, H, Dh] tensor per qlen) and reuse every step

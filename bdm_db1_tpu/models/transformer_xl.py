@@ -278,10 +278,18 @@ class DecoderLayer(nn.Module):
     @nn.compact
     def __call__(self, h, mem, r, mask, r_w_bias, r_r_bias, deterministic):
         hid_in = h
+        if self.cfg.sequence_sharded_activations:
+            # Megatron-SP: between blocks, activations shard along sequence
+            # over the model axis; XLA all-gathers around attention/FFN
+            h = nn.with_logical_constraint(
+                h, ("batch", "length_sharded", "embed"))
         h, aux = RelMultiHeadAttn(self.cfg, name="attn")(
             h, r, mem, mask, r_w_bias, r_r_bias, deterministic
         )
         h = PositionwiseFF(self.cfg, name="ff")(h, deterministic)
+        if self.cfg.sequence_sharded_activations:
+            h = nn.with_logical_constraint(
+                h, ("batch", "length_sharded", "embed"))
         # scan ys: cache contributions (kv mode) or the layer input (hidden
         # mode, feeding the reference-style memory update)
         return h, (aux if aux is not None else hid_in)
@@ -486,8 +494,10 @@ class TransformerXL(nn.Module):
             "zero KV cache is only reference-equivalent for post-LN; "
             "use init_mems/decode_rl for pre-LN models")
         shape = (cfg.n_layer, batch_size, cfg.mem_len, cfg.n_head, cfg.d_head)
-        z = jnp.zeros(shape, dtype=jnp.dtype(cfg.dtype))
-        return {"k": z, "v": z}
+        # two distinct buffers: callers donate the cache into the jitted
+        # decode step, and XLA rejects donating one buffer twice
+        return {"k": jnp.zeros(shape, dtype=jnp.dtype(cfg.dtype)),
+                "v": jnp.zeros(shape, dtype=jnp.dtype(cfg.dtype))}
 
     def decode_rl_kv(
         self,

@@ -30,6 +30,7 @@ from bdm_db1_tpu.core.config import MeshConfig
 LOGICAL_AXIS_RULES: Tuple[Tuple[str, Optional[str]], ...] = (
     ("batch", "data"),
     ("length", None),
+    ("length_sharded", "model"),  # Megatron-SP activation sharding
     ("vocab", "model"),
     ("embed", None),
     ("qkv", "model"),

@@ -94,10 +94,14 @@ def _ScheduledWeightDecay(wd_sched) -> optax.GradientTransformation:
 def make_loss_fn(model) -> Callable:
     def loss_fn(params, batch, rng):
         d_rng, p_rng = jax.random.split(rng)
-        _, loss = model.apply(
-            {"params": params}, batch, compute_loss=True, deterministic=False,
-            rngs={"dropout": d_rng, "patch_pos": p_rng},
-        )
+        # logical-axis rules in scope so in-model sharding constraints
+        # (e.g. Megatron-SP activation sharding) resolve to mesh axes
+        with nn.logical_axis_rules(list(LOGICAL_AXIS_RULES)):
+            _, loss = model.apply(
+                {"params": params}, batch, compute_loss=True,
+                deterministic=False,
+                rngs={"dropout": d_rng, "patch_pos": p_rng},
+            )
         return loss
 
     return loss_fn

@@ -107,3 +107,28 @@ def test_dp_tp_losses_agree():
         _, m1 = step_fn(state, batch, jax.random.PRNGKey(1))
         losses[tp] = float(m1["loss"])
     assert abs(losses[1] - losses[2]) < 1e-3, losses
+
+
+def test_sequence_sharded_activations_matches():
+    """Megatron-SP activation sharding changes layout, not math."""
+    cfg = db1_tiny()
+    cfg.model.dtype = "float32"
+    model_ref = TransformerXL(cfg.model, cfg.vocab, cfg.vision)
+    layout = cfg.vocab.layout()
+    batch = _tiny_batch(layout, accum=1, micro=8)
+    tx = make_optimizer(
+        OptimizerConfig(lr=1e-2, lr_decay_style="constant"), 100)
+
+    losses = {}
+    for sp in (False, True):
+        cfg.mesh.model_parallel = 2
+        cfg.model.sequence_sharded_activations = sp
+        model = TransformerXL(cfg.model, cfg.vocab, cfg.vision)
+        mesh = make_mesh(cfg.mesh)
+        init_fn, step_fn = make_sharded_train_step(
+            model, tx, jax.random.PRNGKey(0), batch, mesh)
+        state = init_fn(batch)
+        _, m = step_fn(state, batch, jax.random.PRNGKey(1))
+        losses[sp] = float(m["loss"])
+    cfg.model.sequence_sharded_activations = False
+    assert abs(losses[False] - losses[True]) < 1e-3, losses
