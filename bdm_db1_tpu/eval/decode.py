@@ -204,6 +204,82 @@ class DecoderPool:
         return self._cache[key]
 
 
+class WindowDecoder:
+    """Stateless (no-memory) decoder over a fixed padded token window.
+
+    TPU-native form of the reference's mem-less mode
+    (reference: evaluate_rl.py:177-242 with model_memory None): the host
+    keeps a growing/rolling sequence; on device the window is padded to a
+    fixed width (causality makes pad positions inert), logits are gathered
+    at the live position, and generated action tokens scatter back into the
+    window — one jit compile per window bucket, not per sequence length."""
+
+    def __init__(self, model, params, layout, obs_length, action_length,
+                 discrete_action, num_actions=None,
+                 window: Optional[int] = None):
+        self.model = model
+        self.params = params
+        self.layout = layout
+        self.obs_length = int(obs_length)
+        self.action_length = int(action_length)
+        self.discrete_action = discrete_action
+        self.window = window or model.cfg.n_position
+        if discrete_action:
+            assert num_actions is not None
+            self._base_bias = layout.discrete_action_logit_bias(num_actions)
+        else:
+            self._base_bias = layout.continuous_action_logit_bias()
+        self._num_actions = num_actions
+        self._jit = jax.jit(partial(_window_decode, model, self.action_length))
+
+    def decode(self, seq_tokens: np.ndarray, env_action_mask=None
+               ) -> Tuple[np.ndarray, np.ndarray]:
+        """seq_tokens: [q] current sequence (<= window). Returns
+        (action token ids [action_length], extended sequence [q+action_length])."""
+        q = len(seq_tokens)
+        assert q + self.action_length <= self.window, (q, self.window)
+        _, pos = action_flags_and_position_ids(
+            self.window, self.obs_length, self.action_length, 0)
+        padded = np.zeros((self.window,), np.int64)
+        padded[:q] = seq_tokens
+        bias = ActionDecoder.bias_with_env_mask(self, env_action_mask)
+        act = self._jit(
+            {"params": self.params},
+            jnp.asarray(padded, jnp.int32)[None],
+            jnp.asarray(pos, jnp.int32)[None],
+            jnp.asarray([q], jnp.int32),
+            jnp.asarray(bias)[None] if bias.ndim == 1 else jnp.asarray(bias),
+        )
+        act = np.asarray(act)[0]
+        return act, np.concatenate([seq_tokens, act])
+
+
+def _window_decode(model, action_length, variables, tokens, pos, lengths,
+                   bias):
+    """fori over action dims: forward padded window, gather live-position
+    logits, argmax, scatter the token back in."""
+    from bdm_db1_tpu.data.input_specs import RLTaskBatch
+
+    b = tokens.shape[0]
+    rows = jnp.arange(b)
+
+    def body(i, carry):
+        tokens, acts = carry
+        logits, _ = model.apply(
+            variables, {"rl": RLTaskBatch(tokens=tokens, position_id=pos)},
+            compute_loss=False)
+        idx = lengths + i - 1
+        live = logits[rows, idx]                     # [B, V]
+        tok = jnp.argmax(live + bias, axis=-1).astype(jnp.int32)
+        tokens = tokens.at[rows, lengths + i].set(tok)
+        acts = acts.at[:, i].set(tok)
+        return tokens, acts
+
+    acts0 = jnp.zeros((b, action_length), jnp.int32)
+    _, acts = jax.lax.fori_loop(0, action_length, body, (tokens, acts0))
+    return acts
+
+
 def build_decoder_for_env(model, params, tokenized_env) -> ActionDecoder:
     from bdm_db1_tpu.eval.envs import is_discrete_space
 

@@ -116,6 +116,63 @@ def evaluate_env(
     }
 
 
+def run_episode_stateless(
+    env: TokenizedEnv,
+    decoder,  # WindowDecoder
+    *,
+    use_prompt: bool = True,
+    prompt_strategy: str = "fixed_prompt",
+    strict_length: bool = True,
+    minimal_expert_data: bool = False,
+    max_step_size: Optional[int] = None,
+    rng: Optional[np.random.RandomState] = None,
+) -> EpisodeResult:
+    """No-memory episode loop: the host keeps the rolling token window
+    (reference: evaluate_rl.py:286-410 with model_memory None —
+    fixed_prompt pins the expert prompt and rolls the rest by whole
+    transitions; otherwise the oldest transition drops)."""
+    sep = np.array([env.separator_id], dtype=np.int64)
+    step_size = env.obs_length + env.action_length + 1
+    window = decoder.window
+
+    obs_tokens, _, action_mask = env.reset()
+    if use_prompt:
+        env.eval_prompt_strategy = prompt_strategy
+        prompt, _ = env.get_prompt(
+            strict_length=strict_length,
+            minimal_expert_data=minimal_expert_data, rng=rng)
+        prompt_len = len(prompt)
+        seq = np.concatenate([prompt, obs_tokens, sep])
+    else:
+        prompt_len = 0
+        seq = np.concatenate([obs_tokens, sep])
+
+    def roll(seq: np.ndarray) -> np.ndarray:
+        while len(seq) + env.action_length > window:
+            if use_prompt and prompt_strategy == "fixed_prompt":
+                # pin the prompt, drop the oldest post-prompt transition
+                seq = np.concatenate([seq[:prompt_len],
+                                      seq[prompt_len + step_size:]])
+            else:
+                seq = seq[step_size:]
+        return seq
+
+    episode_return, episode_length = 0.0, 0
+    done = False
+    while not done:
+        seq = roll(seq)
+        act_tokens, seq = decoder.decode(seq, env_action_mask=action_mask)
+        action = env.tok.decode_action(act_tokens, env.discrete_action)
+        obs_tokens, _, action_mask, reward, done, _ = env.step(action)
+        episode_return += reward
+        episode_length += 1
+        if max_step_size is not None and episode_length >= max_step_size:
+            break
+        seq = np.concatenate([seq, obs_tokens, sep])
+
+    return EpisodeResult(env.ds.name, float(episode_return), episode_length)
+
+
 def run_batched_episodes(
     envs: List[TokenizedEnv],
     decoder: ActionDecoder,
