@@ -147,9 +147,18 @@ def _decode_step(model, action_length, use_kv_cache, variables, tokens, pos,
     tokens/pos: [B, q]; bias: [B, V]; returns ([B, action_length], mems)."""
     b = tokens.shape[0]
     if use_kv_cache:
+        if isinstance(mems, dict) and "cursor" in mems:
+            # previous call left a ring-ordered cache; the multi-token
+            # prime path needs aligned order (oldest at slot 0)
+            mems = {"k": jnp.roll(mems["k"], -mems["cursor"], axis=2),
+                    "v": jnp.roll(mems["v"], -mems["cursor"], axis=2)}
         logits, mems = model.apply(
             variables, tokens, pos, mems, images, rk_prime,
             method=TransformerXL.decode_rl_kv)
+        # action-dim steps run on the ring cache: in-place K/V writes
+        # instead of shifting the whole window each token
+        mems = {"k": mems["k"], "v": mems["v"],
+                "cursor": jnp.zeros((), jnp.int32)}
     else:
         logits, mems = model.apply(
             variables, tokens, pos, mems, images,
@@ -162,8 +171,8 @@ def _decode_step(model, action_length, use_kv_cache, variables, tokens, pos,
         tok, mems = carry
         if use_kv_cache:
             lg, mems = model.apply(
-                variables, tok[:, None], zero_pos, mems, None, rk_step,
-                method=TransformerXL.decode_rl_kv)
+                variables, tok[:, None], zero_pos, mems, rk_step,
+                method=TransformerXL.decode_rl_kv_ring)
         else:
             lg, mems = model.apply(
                 variables, tok[:, None], zero_pos, mems,

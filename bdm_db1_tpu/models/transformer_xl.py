@@ -158,6 +158,51 @@ class RelMultiHeadAttn(nn.Module):
         b = x.shape[0]
         aux = None
         rk_pre = None
+        if kv_mode and len(mem) == 4:
+            # ---- ring-buffer cache, single-token decode ------------------
+            # mem = (k_cache, v_cache, rk_rot, rk_self): the cache is a ring
+            # (cursor managed by the caller); rk_rot is this layer's
+            # positional projections pre-rotated so column j matches slot
+            # j's age, rk_self the distance-0 row. Scores as usual; the
+            # caller masks the about-to-be-overwritten (oldest) slot and
+            # writes (k_x, v_x) in place — no O(mem_len) cache copy.
+            assert qlen == 1
+            k_cache, v_cache, rk_rot, rk_self = mem
+            pre = ln(x.astype(dtype)) if cfg.pre_lnorm else x.astype(dtype)
+            q, k_x, v_x = jnp.split(qkv_net(pre), 3, axis=-1)
+            q = q.reshape(b, 1, h, dh)
+            k_x = k_x.reshape(b, 1, h, dh)
+            v_x = v_x.reshape(b, 1, h, dh)
+
+            qf = q.astype(jnp.float32)
+            qw = qf + r_w_bias.astype(jnp.float32)
+            qr = qf + r_r_bias.astype(jnp.float32)
+            # slots: AC + BD over the M ring slots
+            ac_s = jnp.einsum("bihd,bjhd->bhij", qw,
+                              k_cache.astype(jnp.float32))
+            bd_s = jnp.einsum("bihd,jhd->bhij", qr,
+                              rk_rot.astype(jnp.float32))
+            # self token: distance 0
+            ac_x = jnp.einsum("bihd,bjhd->bhij", qw, k_x.astype(jnp.float32))
+            bd_x = jnp.einsum("bihd,hd->bhi", qr,
+                              rk_self.astype(jnp.float32))[..., None]
+            scale = 1.0 / (dh ** 0.5)
+            scores = jnp.concatenate(
+                [ac_s + bd_s, ac_x + bd_x], axis=-1) * scale  # [B,H,1,M+1]
+            scores = jnp.where(mask[None, None, :, :], -1e30, scores)
+            probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+            v_all = jnp.concatenate([v_cache.astype(dtype), v_x], axis=1)
+            attn = jnp.einsum("bhij,bjhd->bihd", probs, v_all)
+            out = nn.Dense(
+                d, use_bias=False, dtype=dtype, param_dtype=cfg.param_dtype,
+                kernel_init=_part(_deepnorm_or_normal(cfg),
+                                  ("heads", "embed")),
+                name="o_net",
+            )(attn.reshape(b, 1, d))
+            out = nn.Dropout(cfg.drop)(out, deterministic=deterministic)
+            alpha = (2 * cfg.n_layer) ** 0.25 if cfg.use_deepnorm else 1.0
+            res = (x + out) if cfg.pre_lnorm else ln(x * alpha + out)
+            return res, (k_x, v_x)
         if kv_mode:
             # project only the new tokens; splice cached K/V in front.
             # An optional third element carries this layer's precomputed
@@ -513,6 +558,61 @@ class TransformerXL(nn.Module):
         h, new_cache = self.trunk_kv(h, cache, deterministic=True, rk=rk)
         logits = self.logits(h[:, -1:, :])[:, 0, :]
         return logits, new_cache
+
+    def decode_rl_kv_ring(
+        self,
+        tokens: Array,          # [B, 1]
+        position_id: Array,     # [B, 1]
+        cache: Dict[str, Array],  # {"k","v": [L,B,M,H,Dh], "cursor": int32}
+        rk_full: Array,         # [L, M+1, H, Dh] precomputed projections
+    ) -> Tuple[Array, Dict[str, Array]]:
+        """Single-token decode over a ring-buffer cache: the new K/V write
+        in place at ``cursor`` instead of shifting the whole window (the
+        aligned path copies 2 x [L,B,M,H,Dh] per token). Slot j holds the
+        key of relative rank (j - cursor) mod M, so the BD positional term
+        is the aligned table rotated by ``cursor`` — identical math."""
+        cfg = self.cfg
+        M = cfg.mem_len
+        cursor = cache["cursor"]
+        b = tokens.shape[0]
+
+        sub = RLTaskBatch(tokens=tokens, position_id=position_id)
+        h = self.embed_rl(sub)
+
+        # rotate positional projections: column j <- aligned row (j - cursor)
+        rk_rot = jnp.roll(rk_full[:, :M], cursor, axis=1)
+        rk_self = rk_full[:, M]
+        # ban the oldest slot (the one the new token overwrites) — the
+        # same_length window semantics for qlen=1
+        slot_ids = jnp.arange(M + 1)
+        mask = (slot_ids == cursor)[None, :] if cfg.same_length else (
+            jnp.zeros((1, M + 1), bool))
+
+        r_w = getattr(self, "r_w_bias", None)
+        r_r = getattr(self, "r_r_bias", None)
+        h, (k_x, v_x) = self.layers(
+            h, (cache["k"], cache["v"], rk_rot, rk_self), None, mask,
+            r_w, r_r, True)
+        logits = self.logits(h[:, -1:, :])[:, 0, :]
+
+        new_cache = {
+            "k": jax.lax.dynamic_update_slice(
+                cache["k"], jax.lax.stop_gradient(k_x),
+                (0, 0, cursor, 0, 0)),
+            "v": jax.lax.dynamic_update_slice(
+                cache["v"], jax.lax.stop_gradient(v_x),
+                (0, 0, cursor, 0, 0)),
+            "cursor": (cursor + 1) % M,
+        }
+        return logits, new_cache
+
+    def align_ring_cache(self, cache: Dict[str, Array]) -> Dict[str, Array]:
+        """Rotate a ring cache back to aligned order (oldest at slot 0),
+        for the multi-token prime path."""
+        return {
+            "k": jnp.roll(cache["k"], -cache["cursor"], axis=2),
+            "v": jnp.roll(cache["v"], -cache["cursor"], axis=2),
+        }
 
     def precompute_rk(self, qlen: int) -> Array:
         """Per-layer positional projections [n_layer, klen, H, Dh] for a

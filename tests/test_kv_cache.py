@@ -81,3 +81,56 @@ def test_precomputed_rk_matches_inlayer():
                           method=TransformerXL.decode_rl_kv)
     np.testing.assert_allclose(np.asarray(lg_b), np.asarray(lg_a),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_ring_cache_matches_aligned():
+    """Ring-buffer single-token decode == aligned shift decode, multi-step,
+    including re-alignment for a subsequent prime."""
+    cfg = db1_tiny()
+    cfg.model.dtype = "float32"
+    model = TransformerXL(cfg.model, cfg.vocab, cfg.vision)
+    layout = cfg.vocab.layout()
+    tok0 = jnp.zeros((1, cfg.model.n_position), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), {"rl": RLTaskBatch(
+        tokens=tok0, position_id=tok0, loss_mask=tok0, label=tok0)})["params"]
+
+    rk1 = model.apply({"params": params}, 1,
+                      method=TransformerXL.precompute_rk)
+
+    aligned = model.apply({"params": params}, 1,
+                          method=TransformerXL.init_kv_cache)
+    ring = {"k": aligned["k"], "v": aligned["v"],
+            "cursor": jnp.zeros((), jnp.int32)}
+
+    rng = np.random.RandomState(0)
+    # prime both with a short sequence
+    prime = jnp.asarray(
+        rng.randint(0, layout.total_vocab_size, (1, 5)), jnp.int32)
+    ppos = jnp.asarray(rng.randint(0, 6, (1, 5)), jnp.int32)
+    rk5 = model.apply({"params": params}, 5,
+                      method=TransformerXL.precompute_rk)
+    lg_a, aligned = model.apply({"params": params}, prime, ppos, aligned,
+                                None, rk5, method=TransformerXL.decode_rl_kv)
+    ring = {"k": aligned["k"], "v": aligned["v"],
+            "cursor": jnp.zeros((), jnp.int32)}
+
+    # many single-token steps: aligned-shift vs ring must agree,
+    # including cursor wraparound (mem_len is 32 in the tiny config)
+    for step in range(40):
+        t = jnp.asarray(
+            rng.randint(0, layout.total_vocab_size, (1, 1)), jnp.int32)
+        p = jnp.zeros((1, 1), jnp.int32)
+        lg_al, aligned = model.apply(
+            {"params": params}, t, p, aligned, None, rk1,
+            method=TransformerXL.decode_rl_kv)
+        lg_ring, ring = model.apply(
+            {"params": params}, t, p, ring, rk1,
+            method=TransformerXL.decode_rl_kv_ring)
+        np.testing.assert_allclose(
+            np.asarray(lg_ring), np.asarray(lg_al), rtol=2e-5, atol=2e-5,
+            err_msg=f"step {step}")
+
+    # re-aligning the ring reproduces the aligned cache
+    realigned_k = np.asarray(jnp.roll(ring["k"], -ring["cursor"], axis=2))
+    np.testing.assert_allclose(realigned_k, np.asarray(aligned["k"]),
+                               rtol=2e-5, atol=2e-5)
