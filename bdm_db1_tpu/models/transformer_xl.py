@@ -95,9 +95,12 @@ def _use_pallas(cfg: ModelConfig, qlen: int, klen: int,
                 use_dropatt: bool) -> bool:
     if cfg.attention_impl == "xla" or use_dropatt:
         return False
-    from bdm_db1_tpu.ops.pallas_attention import pallas_applicable
+    from bdm_db1_tpu.ops.pallas_attention import (
+        pallas_anylen_applicable, pallas_applicable,
+    )
 
-    if not pallas_applicable(qlen, klen):
+    if not (pallas_applicable(qlen, klen)
+            or pallas_anylen_applicable(qlen, klen)):
         return False
     if cfg.attention_impl == "pallas":
         return True
@@ -245,9 +248,11 @@ class RelMultiHeadAttn(nn.Module):
             drop_rng = self.make_rng("dropout")
 
         if _use_pallas(cfg, qlen, klen, use_dropatt):
-            from bdm_db1_tpu.ops.pallas_attention import pallas_rel_attention
+            from bdm_db1_tpu.ops.pallas_attention import (
+                pallas_rel_attention_anylen,
+            )
 
-            attn = pallas_rel_attention(
+            attn = pallas_rel_attention_anylen(
                 q, k, v, r_k, r_w_bias.astype(jnp.float32),
                 r_r_bias.astype(jnp.float32), cfg.mem_len,
                 cfg.same_length, 1.0 / (dh ** 0.5),

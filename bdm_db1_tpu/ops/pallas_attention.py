@@ -467,6 +467,46 @@ def pallas_rel_attention(q, k, v, rk, r_w_bias, r_r_bias,
         block_k=block_k, interpret=interpret)
 
 
+def pallas_anylen_applicable(qlen: int, klen: int,
+                             block: int = DEFAULT_BLOCK_Q) -> bool:
+    """The padding wrapper below handles any qlen as long as the memory
+    prefix is block-aligned (it is: mem_len 1024 or 0)."""
+    mlen = klen - qlen
+    d = (-qlen) % block
+    return (mlen % block == 0 and qlen >= 64
+            and (klen + d) >= 2 * block)
+
+
+def pallas_rel_attention_anylen(
+    q, k, v, rk, r_w_bias, r_r_bias, mem_len, same_length, scale,
+    block: int = DEFAULT_BLOCK_Q, interpret: bool = False,
+):
+    """Arbitrary-qlen wrapper: pad queries AND keys by the same amount (so
+    the memory offset is unchanged), run the fused kernel, slice real rows.
+
+    Safe by construction: padded keys sit past every real query's causal
+    horizon (col > row + mlen) so they are masked; padded query rows compute
+    garbage that is discarded, and their zero cotangents contribute nothing
+    in backward. The rk table gains zero rows at the front for distances
+    only garbage rows touch."""
+    b, qlen, h, dh = q.shape
+    klen = k.shape[1]
+    d = (-qlen) % block
+    if d == 0 and pallas_applicable(qlen, klen, block, block):
+        return pallas_rel_attention(
+            q, k, v, rk, r_w_bias, r_r_bias, mem_len, same_length, scale,
+            block, block, interpret)
+    assert pallas_anylen_applicable(qlen, klen, block), (qlen, klen)
+    qp = jnp.pad(q, ((0, 0), (0, d), (0, 0), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, d), (0, 0), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, d), (0, 0), (0, 0)))
+    rkp = jnp.pad(rk, ((d, 0), (0, 0), (0, 0)))  # front: larger distances
+    out = pallas_rel_attention(
+        qp, kp, vp, rkp, r_w_bias, r_r_bias, mem_len, same_length, scale,
+        block, block, interpret)
+    return out[:, :qlen]
+
+
 def _ref_attention(q, k, v, rk, r_w_bias, r_r_bias, mem_len, same_length,
                    scale):
     qlen, klen = q.shape[1], k.shape[1]

@@ -79,3 +79,33 @@ def test_applicability_guard():
     assert not pallas_applicable(3, 64)
     assert not pallas_applicable(128, 100)
     assert pallas_applicable(1024, 2048)
+
+
+@pytest.mark.parametrize("qlen,mlen", [(100, 256), (300, 512), (257, 256)])
+def test_anylen_wrapper_matches_reference(qlen, mlen):
+    from bdm_db1_tpu.ops.pallas_attention import (
+        pallas_anylen_applicable, pallas_rel_attention_anylen,
+    )
+
+    b, h, dh = 1, 2, 128
+    klen = mlen + qlen
+    assert pallas_anylen_applicable(qlen, klen, 128)
+    q, k, v, rk, rw, rr = _inputs(b, qlen, klen, h, dh, seed=4)
+    scale = 1.0 / dh ** 0.5
+    out_p = pallas_rel_attention_anylen(
+        q, k, v, rk, rw, rr, mlen, True, scale, 128, True)
+    mask = same_length_mask(qlen, klen, mlen)
+    out_r = rel_attention(q, k, v, rk, rw, rr, mask, scale=scale,
+                          compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_r),
+                               rtol=3e-4, atol=3e-4)
+
+    # gradients flow through the pad/slice wrapper
+    g = jnp.ones((b, qlen, h, dh))
+    gp = jax.grad(lambda q: (pallas_rel_attention_anylen(
+        q, k, v, rk, rw, rr, mlen, True, scale, 128, True) * g).sum())(q)
+    gr = jax.grad(lambda q: (rel_attention(
+        q, k, v, rk, rw, rr, mask, scale=scale,
+        compute_dtype=jnp.float32) * g).sum())(q)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                               rtol=5e-4, atol=5e-4)
