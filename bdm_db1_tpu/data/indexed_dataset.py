@@ -20,7 +20,6 @@ from __future__ import annotations
 import os
 import shutil
 import struct
-from functools import lru_cache
 from typing import List, Optional, Sequence
 
 import numpy as np

@@ -15,7 +15,6 @@ sample adapter for our collation layer.
 
 from __future__ import annotations
 
-import copy
 import json
 import os
 import random

@@ -113,7 +113,6 @@ def test_sequence_sharded_activations_matches():
     """Megatron-SP activation sharding changes layout, not math."""
     cfg = db1_tiny()
     cfg.model.dtype = "float32"
-    model_ref = TransformerXL(cfg.model, cfg.vocab, cfg.vision)
     layout = cfg.vocab.layout()
     batch = _tiny_batch(layout, accum=1, micro=8)
     tx = make_optimizer(
