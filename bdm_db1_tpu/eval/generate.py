@@ -21,31 +21,42 @@ from bdm_db1_tpu.core.vocab import VocabLayout
 from bdm_db1_tpu.models.transformer_xl import TransformerXL
 
 
-def _sample(logits, rng, temperature: float, top_k: int):
+def _sample(logits, rng, temperature: float, top_k: int, top_p: float):
     if temperature == 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     if top_k > 0:
         kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
         logits = jnp.where(logits < kth, -1e30, logits)
+    if 0.0 < top_p < 1.0:
+        # nucleus filtering: keep the smallest set of tokens whose
+        # cumulative probability exceeds top_p
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_logits / temperature, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # threshold logit: last one inside the nucleus
+        inside = cum - probs < top_p
+        cutoff = jnp.min(
+            jnp.where(inside, sorted_logits, jnp.inf), axis=-1, keepdims=True)
+        logits = jnp.where(logits < cutoff, -1e30, logits)
     return jax.random.categorical(
         rng, logits / temperature, axis=-1).astype(jnp.int32)
 
 
-def _generate(model, max_tokens, temperature, top_k, variables, tokens,
-              bias, rng):
+def _generate(model, max_tokens, temperature, top_k, top_p, variables,
+              tokens, bias, rng):
     logits, cache = model.apply(
         variables, tokens,
         model.apply(variables, tokens.shape[0],
                     method=TransformerXL.init_kv_cache),
         method=TransformerXL.decode_text_kv)
     rngs = jax.random.split(rng, max_tokens)
-    tok0 = _sample(logits + bias, rngs[0], temperature, top_k)
+    tok0 = _sample(logits + bias, rngs[0], temperature, top_k, top_p)
 
     def body(carry, r):
         tok, cache = carry
         lg, cache = model.apply(variables, tok[:, None], cache,
                                 method=TransformerXL.decode_text_kv)
-        nxt = _sample(lg + bias, r, temperature, top_k)
+        nxt = _sample(lg + bias, r, temperature, top_k, top_p)
         return (nxt, cache), nxt
 
     (_, _), rest = jax.lax.scan(body, (tok0, cache), rngs[1:])
@@ -57,7 +68,8 @@ class TextGenerator:
 
     def __init__(self, model: TransformerXL, params, layout: VocabLayout,
                  eos_token_id: int, *, max_tokens: int = 64,
-                 temperature: float = 0.0, top_k: int = 0):
+                 temperature: float = 0.0, top_k: int = 0,
+                 top_p: float = 0.0):
         assert not model.cfg.pre_lnorm, "KV generation needs post-LN"
         self.model = model
         self.params = params
@@ -67,7 +79,7 @@ class TextGenerator:
         bias[layout.text_vocab_size:] = -1e10  # text ids only
         self._bias = jnp.asarray(bias)
         self._jit = jax.jit(
-            partial(_generate, model, max_tokens, temperature, top_k))
+            partial(_generate, model, max_tokens, temperature, top_k, top_p))
 
     def generate(self, prompts: np.ndarray,
                  rng: Optional[jax.Array] = None) -> List[List[int]]:

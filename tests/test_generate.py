@@ -55,3 +55,15 @@ def test_generate_text_roundtrip():
     outs = gen.generate_text(tok, ["ab", "xyz"])
     assert len(outs) == 2
     assert all(isinstance(o, str) for o in outs)
+
+
+def test_top_p_generation_stays_in_nucleus():
+    cfg, model, params = _setup()
+    layout = cfg.vocab.layout()
+    gen = TextGenerator(model, params, layout, eos_token_id=0,
+                        max_tokens=10, temperature=1.0, top_p=0.9)
+    prompts = np.array([[5, 6, 7]], np.int32)
+    out = gen.generate(prompts, rng=jax.random.PRNGKey(4))
+    assert all(0 < t < layout.text_vocab_size for t in out[0])
+    # deterministic for a fixed rng
+    assert out == gen.generate(prompts, rng=jax.random.PRNGKey(4))
