@@ -78,6 +78,26 @@ class Trainer:
         return it
 
     def train(self) -> None:
+        """Run the loop; on any crash, save an emergency checkpoint first
+        (the failure-recovery the reference lacks, SURVEY.md §5)."""
+        try:
+            self._train_loop()
+        except BaseException:
+            if self.ckpt is not None:
+                step = int(self.state.step)
+                print_rank_0(
+                    f"training interrupted — saving emergency checkpoint "
+                    f"at iteration {step}")
+                try:
+                    self.ckpt.save(step, self.state,
+                                   client_state={"iteration": step,
+                                                 "emergency": True})
+                    self.ckpt.wait()
+                except Exception as e:  # keep the original traceback primary
+                    print_rank_0(f"emergency checkpoint failed: {e}")
+            raise
+
+    def _train_loop(self) -> None:
         tcfg = self.cfg.train
         iteration = self.maybe_resume()
         rng = jax.random.PRNGKey(tcfg.seed)
