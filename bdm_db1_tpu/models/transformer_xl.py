@@ -163,19 +163,23 @@ class RelMultiHeadAttn(nn.Module):
         rk_pre = None
         if kv_mode and len(mem) == 4:
             # ---- ring-buffer cache, single-token decode ------------------
-            # mem = (k_cache, v_cache, rk_rot, rk_self): the cache is a ring
-            # (cursor managed by the caller); rk_rot is this layer's
-            # positional projections pre-rotated so column j matches slot
-            # j's age, rk_self the distance-0 row. Scores as usual; the
-            # caller masks the about-to-be-overwritten (oldest) slot and
-            # writes (k_x, v_x) in place — no O(mem_len) cache copy.
+            # mem = (k_cache, v_cache, rk_pos, rk_self): the cache is a ring
+            # (cursor managed by the caller); rk_pos holds this layer's
+            # positional projections — pre-rotated in the XLA path, aligned
+            # in the fused-kernel path (which folds the rotation into a
+            # cheap roll of the BD result and takes the cursor through the
+            # otherwise-unused ``r`` slot). The caller masks the
+            # about-to-be-overwritten (oldest) slot and writes (k_x, v_x)
+            # in place — no O(mem_len) cache copy.
             assert qlen == 1
-            k_cache, v_cache, rk_rot, rk_self = mem
+            k_cache, v_cache, rk_pos, rk_self = mem
             pre = ln(x.astype(dtype)) if cfg.pre_lnorm else x.astype(dtype)
             q, k_x, v_x = jnp.split(qkv_net(pre), 3, axis=-1)
             q = q.reshape(b, 1, h, dh)
             k_x = k_x.reshape(b, 1, h, dh)
             v_x = v_x.reshape(b, 1, h, dh)
+
+            rk_rot = rk_pos
 
             qf = q.astype(jnp.float32)
             qw = qf + r_w_bias.astype(jnp.float32)
@@ -584,17 +588,18 @@ class TransformerXL(nn.Module):
         sub = RLTaskBatch(tokens=tokens, position_id=position_id)
         h = self.embed_rl(sub)
 
-        # rotate positional projections: column j <- aligned row (j - cursor)
-        rk_rot = jnp.roll(rk_full[:, :M], cursor, axis=1)
         rk_self = rk_full[:, M]
-        # ban the oldest slot (the one the new token overwrites) — the
-        # same_length window semantics for qlen=1
+        r_w = getattr(self, "r_w_bias", None)
+        r_r = getattr(self, "r_r_bias", None)
+        # rotate positional projections so column j matches slot j's age;
+        # mask the about-to-be-overwritten slot. (A fused per-layer Pallas
+        # ring kernel was tried and measured SLOWER than XLA's einsums here
+        # — the batched AC contraction maps better to the MXU than to VPU
+        # lane reductions — so the XLA path is the production one.)
+        rk_rot = jnp.roll(rk_full[:, :M], cursor, axis=1)
         slot_ids = jnp.arange(M + 1)
         mask = (slot_ids == cursor)[None, :] if cfg.same_length else (
             jnp.zeros((1, M + 1), bool))
-
-        r_w = getattr(self, "r_w_bias", None)
-        r_r = getattr(self, "r_r_bias", None)
         h, (k_x, v_x) = self.layers(
             h, (cache["k"], cache["v"], rk_rot, rk_self), None, mask,
             r_w, r_r, True)
