@@ -177,6 +177,11 @@ class EvalConfig:
     use_prompt: bool = True
     prompt_strategy: str = "stochastic_subseq;moving_prompt"
     seed: int = 100
+    # lockstep batching: decode up to batch_size same-geometry episodes per
+    # device call (the path bench.py measures); batched=False falls back to
+    # the reference-style one-env-at-a-time loop
+    batched: bool = True
+    batch_size: int = 16
 
 
 @dataclass

@@ -200,13 +200,9 @@ class DecoderPool:
         self._cache = {}
 
     def get(self, tokenized_env) -> "ActionDecoder":
-        from bdm_db1_tpu.eval.envs import is_discrete_space
+        from bdm_db1_tpu.eval.harness import decode_geometry
 
-        discrete = is_discrete_space(tokenized_env.action_space)
-        key = (
-            tokenized_env.obs_length, tokenized_env.action_length, discrete,
-            tokenized_env.action_space.n if discrete else None,
-        )
+        key = decode_geometry(tokenized_env)
         if key not in self._cache:
             self._cache[key] = build_decoder_for_env(
                 self.model, self.params, tokenized_env)

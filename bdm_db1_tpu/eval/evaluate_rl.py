@@ -28,7 +28,9 @@ from bdm_db1_tpu.core.logging import print_rank_0
 from bdm_db1_tpu.data.input_specs import RLTaskBatch
 from bdm_db1_tpu.data.rl_dataset import build_rl_dataset_from_cache
 from bdm_db1_tpu.eval.envs import make_env
-from bdm_db1_tpu.eval.harness import evaluate_env, shard_envs
+from bdm_db1_tpu.eval.harness import (
+    evaluate_env, evaluate_envs_lockstep, shard_envs,
+)
 from bdm_db1_tpu.eval.wrapper import TokenizedEnv
 from bdm_db1_tpu.models.transformer_xl import TransformerXL
 
@@ -98,15 +100,22 @@ def main(cfg: Optional[DB1Config] = None) -> List[dict]:
 
     tok = build_tokenizer_suite(cfg)
 
+    # RLFullDataset construction (cache mmap + expert index) is the costly
+    # part of env setup and is read-only at eval time: share one instance
+    # across the num_trials wrapper instances of each env
+    ds_cache = {}
+
     def make_tenv(name: str) -> TokenizedEnv:
         env = make_env(name)
-        ds = build_rl_dataset_from_cache(
-            name, cfg.data.rl_dataset_cache_dir, cfg.model.n_position, tok,
-            use_prompt=cfg.eval.use_prompt,
-            prompt_strategy=cfg.eval.prompt_strategy.split(";")[0],
-        )
+        if name not in ds_cache:
+            ds_cache[name] = build_rl_dataset_from_cache(
+                name, cfg.data.rl_dataset_cache_dir, cfg.model.n_position,
+                tok,
+                use_prompt=cfg.eval.use_prompt,
+                prompt_strategy=cfg.eval.prompt_strategy.split(";")[0],
+            )
         return TokenizedEnv(
-            env, ds,
+            env, ds_cache[name],
             eval_prompt_strategy=cfg.eval.prompt_strategy.split(";")[-1])
 
     from bdm_db1_tpu.eval.decode import DecoderPool
@@ -117,20 +126,37 @@ def main(cfg: Optional[DB1Config] = None) -> List[dict]:
     if cfg.train.save_dir:
         os.makedirs(cfg.train.save_dir, exist_ok=True)
         out_path = os.path.join(cfg.train.save_dir, "results.output")
-    for name in shard_envs(env_names):
-        res = evaluate_env(
-            model, params, lambda n=name: make_tenv(n),
-            decoder_pool=pool,
-            num_trials=cfg.eval.num_trials, seed=cfg.eval.seed,
-            use_prompt=cfg.eval.use_prompt,
-            strict_length=cfg.eval.strict_length,
-            minimal_expert_data=cfg.eval.minimal_expert_data,
-            max_step_size=cfg.eval.max_step_size)
+
+    def emit(res: dict) -> None:
         print_rank_0(json.dumps(res))
         results.append(res)
         if out_path:
             with open(out_path, "a") as f:
                 f.write(json.dumps(res) + "\n")
+
+    local_names = shard_envs(env_names)
+    if cfg.eval.batched:
+        # production path: geometry-bucketed lockstep batches — the same
+        # decode path and batch size the driver benchmarks (bench.py)
+        for res in evaluate_envs_lockstep(
+                model, params, local_names, make_tenv,
+                num_trials=cfg.eval.num_trials, seed=cfg.eval.seed,
+                batch_size=cfg.eval.batch_size, decoder_pool=pool,
+                use_prompt=cfg.eval.use_prompt,
+                strict_length=cfg.eval.strict_length,
+                minimal_expert_data=cfg.eval.minimal_expert_data,
+                max_step_size=cfg.eval.max_step_size):
+            emit(res)
+    else:
+        for name in local_names:
+            emit(evaluate_env(
+                model, params, lambda n=name: make_tenv(n),
+                decoder_pool=pool,
+                num_trials=cfg.eval.num_trials, seed=cfg.eval.seed,
+                use_prompt=cfg.eval.use_prompt,
+                strict_length=cfg.eval.strict_length,
+                minimal_expert_data=cfg.eval.minimal_expert_data,
+                max_step_size=cfg.eval.max_step_size))
 
     if jax.process_count() > 1:  # pragma: no cover
         from jax.experimental import multihost_utils

@@ -185,8 +185,10 @@ def run_batched_episodes(
 ) -> List[EpisodeResult]:
     """Run B same-geometry environments in lockstep: one device call decodes
     all B actions per step (amortizes the host<->device round trip the
-    reference pays per env, evaluate_rl.py:177-258). Finished envs keep
-    stepping with ignored rewards until the whole batch is done."""
+    reference pays per env, evaluate_rl.py:177-258). A finished env is never
+    stepped again (real gym/MuJoCo envs raise or return garbage after
+    ``done``); its slot keeps replaying the final observation so the device
+    batch stays static-shaped, and its reward/length stop accumulating."""
     b = len(envs)
     sep = np.array([envs[0].separator_id], dtype=np.int64)
     rng = rng or np.random.RandomState(0)
@@ -209,12 +211,15 @@ def run_batched_episodes(
     prime = np.stack(primes)
     prime_img = np.stack(imgs) if imgs[0] is not None else None
     action_mask = (np.stack(masks) if masks[0] is not None else None)
+    # per-slot [obs || sep] / image / mask replayed once a slot finishes
+    last_tokens: List[Optional[np.ndarray]] = [None] * b
+    last_imgs: List[Optional[np.ndarray]] = [None] * b
+    last_masks: List[Optional[np.ndarray]] = list(masks)
 
     mems = decoder.init_mems(b)
     returns = np.zeros(b)
     lengths = np.zeros(b, dtype=np.int64)
     done = np.zeros(b, dtype=bool)
-    steps = 0
 
     while not done.all():
         act_tokens, mems = decoder.decode(
@@ -222,18 +227,26 @@ def run_batched_episodes(
             env_action_mask=action_mask)
         next_tokens, next_imgs, next_masks = [], [], []
         for i, env in enumerate(envs):
+            if done[i]:
+                next_tokens.append(last_tokens[i])
+                next_imgs.append(last_imgs[i])
+                next_masks.append(last_masks[i])
+                continue
             action = env.tok.decode_action(
                 act_tokens[i], env.discrete_action)
             obs, img, mask, reward, d, _ = env.step(action)
-            if not done[i]:
-                returns[i] += reward
-                lengths[i] += 1
-                done[i] = d
-            next_tokens.append(np.concatenate([obs, sep]))
+            returns[i] += reward
+            lengths[i] += 1
+            done[i] = d
+            if max_step_size is not None and lengths[i] >= max_step_size:
+                done[i] = True
+            last_tokens[i] = np.concatenate([obs, sep])
+            last_imgs[i] = img
+            last_masks[i] = mask
+            next_tokens.append(last_tokens[i])
             next_imgs.append(img)
             next_masks.append(mask)
-        steps += 1
-        if max_step_size is not None and steps >= max_step_size:
+        if done.all():
             break
         prime = np.stack(next_tokens)
         prime_img = (np.stack(next_imgs)
@@ -243,6 +256,98 @@ def run_batched_episodes(
 
     return [EpisodeResult(envs[i].ds.name, float(returns[i]),
                           int(lengths[i])) for i in range(b)]
+
+
+def decode_geometry(tenv: TokenizedEnv) -> Tuple:
+    """Decode-geometry key: envs with equal keys share a compiled decoder
+    AND may run in the same lockstep batch (SURVEY.md §7 hard part 5)."""
+    from bdm_db1_tpu.eval.envs import is_discrete_space
+
+    discrete = is_discrete_space(tenv.action_space)
+    return (tenv.obs_length, tenv.action_length, discrete,
+            tenv.action_space.n if discrete else None)
+
+
+def evaluate_envs_lockstep(
+    model,
+    params,
+    env_names: Sequence[str],
+    make_tokenized_env: Callable[[str], TokenizedEnv],
+    *,
+    num_trials: int = 5,
+    seed: int = 100,
+    batch_size: int = 16,
+    decoder_pool=None,
+    use_prompt: bool = True,
+    strict_length: bool = True,
+    minimal_expert_data: bool = False,
+    max_step_size: Optional[int] = None,
+) -> List[Dict[str, float]]:
+    """Production lockstep evaluation: bucket (env, trial) work items by
+    decode geometry, fill device batches of up to ``batch_size`` slots from
+    each bucket, and run them through :func:`run_batched_episodes`.
+
+    This puts the batched decode path (the one bench.py measures) on the
+    real suite: with 870 envs x num_trials trials, most buckets fill whole
+    batches, so the per-step device call is amortized across ~batch_size
+    episodes instead of 1 (reference evaluates one env per process,
+    evaluate_rl.py:452-466). Returns one record per env, same schema as
+    :func:`evaluate_env`.
+    """
+    from collections import defaultdict
+
+    from bdm_db1_tpu.eval.decode import DecoderPool
+
+    pool = decoder_pool or DecoderPool(model, params)
+
+    # one probe instance per env (geometry needs the wrapped dataset); the
+    # probe is recycled as the first work-item instance below
+    probes: Dict[str, List[TokenizedEnv]] = {}
+    geom: Dict[str, Tuple] = {}
+    for name in env_names:
+        t = make_tokenized_env(name)
+        probes[name] = [t]
+        geom[name] = decode_geometry(t)
+
+    buckets: Dict[Tuple, List[Tuple[str, int]]] = defaultdict(list)
+    for name in env_names:
+        for trial in range(num_trials):
+            buckets[geom[name]].append((name, trial))
+
+    episodes: Dict[str, List[EpisodeResult]] = defaultdict(list)
+    for key in buckets:
+        items = buckets[key]
+        for start in range(0, len(items), batch_size):
+            chunk = items[start:start + batch_size]
+            chunk_envs = []
+            for name, trial in chunk:
+                t = (probes[name].pop() if probes[name]
+                     else make_tokenized_env(name))
+                t.seed(seed + trial)
+                chunk_envs.append(t)
+            decoder = pool.get(chunk_envs[0])
+            results = run_batched_episodes(
+                chunk_envs, decoder, use_prompt=use_prompt,
+                strict_length=strict_length,
+                minimal_expert_data=minimal_expert_data,
+                max_step_size=max_step_size,
+                rng=np.random.RandomState(seed + start))
+            for (name, _), res in zip(chunk, results):
+                episodes[name].append(res)
+            for (name, _), t in zip(chunk, chunk_envs):
+                probes[name].append(t)  # recycle: episode is over
+
+    out = []
+    for name in env_names:
+        eps = episodes[name]
+        out.append({
+            "env": eps[0].env_name,
+            "return_mean": float(np.mean([e.episode_return for e in eps])),
+            "return_std": float(np.std([e.episode_return for e in eps])),
+            "length_mean": float(np.mean([e.episode_length for e in eps])),
+            "num_trials": len(eps),
+        })
+    return out
 
 
 def shard_envs(env_names: Sequence[str],

@@ -68,14 +68,80 @@ def test_batched_matches_single():
     assert r_b.episode_length == r_s.episode_length
 
 
+class _StrictAfterDone:
+    """Raises if stepped after done — real gym/MuJoCo env semantics."""
+
+    def __init__(self, env):
+        self._env = env
+        self._done = False
+
+    def __getattr__(self, name):
+        return getattr(self._env, name)
+
+    def reset(self):
+        self._done = False
+        return self._env.reset()
+
+    def step(self, action):
+        if self._done:
+            raise RuntimeError("step() called on a finished env")
+        out = self._env.step(action)
+        self._done = bool(out[2])
+        return out
+
+
 def test_batched_discrete_with_uneven_lengths():
     cfg, model, params, tenvs = _setup(
         FakeDiscreteEnv, 4, obs_dim=3, n_actions=4, episode_len=6)
     # make env lengths differ
     tenvs[1].env.episode_len = 3
     tenvs[3].env.episode_len = 5
+    # finished envs must never be stepped again (VERDICT r1 weak #4)
+    for t in tenvs:
+        t.env = _StrictAfterDone(t.env)
     decoder = build_decoder_for_env(model, params, tenvs[0])
     results = run_batched_episodes(
         tenvs, decoder, rng=np.random.RandomState(0))
     lengths = [r.episode_length for r in results]
     assert lengths == [6, 3, 6, 5]
+
+
+def test_batched_per_env_max_step_size():
+    cfg, model, params, tenvs = _setup(
+        FakeContinuousEnv, 2, obs_dim=4, act_dim=2, episode_len=10)
+    tenvs[1].env.episode_len = 2  # finishes naturally before the cap
+    for t in tenvs:
+        t.env = _StrictAfterDone(t.env)
+    decoder = build_decoder_for_env(model, params, tenvs[0])
+    results = run_batched_episodes(
+        tenvs, decoder, max_step_size=4, rng=np.random.RandomState(0))
+    assert [r.episode_length for r in results] == [4, 2]
+
+
+def test_evaluate_envs_lockstep_multi_geometry():
+    """Geometry-bucketed lockstep driver: 3 envs, 2 geometries, batch 4 —
+    same-geometry trials share device batches, records aggregate per env."""
+    from bdm_db1_tpu.eval.harness import evaluate_envs_lockstep
+
+    cfg, model, params, tenvs_c = _setup(
+        FakeContinuousEnv, 2, obs_dim=4, act_dim=2, episode_len=3)
+    _, _, _, tenvs_d = _setup(
+        FakeDiscreteEnv, 1, obs_dim=3, n_actions=4, episode_len=4)
+    instances = {
+        "cont-a": tenvs_c[0], "cont-b": tenvs_c[1], "disc-a": tenvs_d[0]}
+    import copy
+
+    def make_tenv(name):
+        t = instances[name]
+        # fresh wrapper instance sharing env class geometry: copy the env
+        return type(t)(copy.deepcopy(t.env), t.ds,
+                       eval_prompt_strategy=t.eval_prompt_strategy)
+
+    results = evaluate_envs_lockstep(
+        model, params, ["cont-a", "cont-b", "disc-a"], make_tenv,
+        num_trials=3, batch_size=4, seed=0)
+    assert len(results) == 3
+    assert all(r["num_trials"] == 3 for r in results)
+    assert all(np.isfinite(r["return_mean"]) for r in results)
+    assert results[0]["length_mean"] == 3.0
+    assert results[2]["length_mean"] == 4.0

@@ -27,6 +27,18 @@ def workspace(tmp_path_factory):
     env = FakeContinuousEnv(episode_len=8)
     TrajectoryStore.from_flat_dataset(env.make_dataset(5)).save_cache(
         str(tmp / "rl"), "fake-continuous-v0")
+    # two more envs for the batched driver: one sharing the continuous
+    # geometry (same lockstep bucket) and one discrete (second geometry)
+    from bdm_db1_tpu.eval.envs import FakeDiscreteEnv, register_env
+
+    register_env("fake-continuous-b-v0",
+                 lambda: FakeContinuousEnv(seed=5, episode_len=6))
+    TrajectoryStore.from_flat_dataset(
+        FakeContinuousEnv(seed=5, episode_len=6).make_dataset(5)).save_cache(
+        str(tmp / "rl"), "fake-continuous-b-v0")
+    TrajectoryStore.from_flat_dataset(
+        FakeDiscreteEnv(episode_len=7).make_dataset(5)).save_cache(
+        str(tmp / "rl"), "fake-discrete-v0")
     return tmp
 
 
@@ -66,6 +78,7 @@ def test_evaluate_rl_main(workspace):
     cfg.eval.env_names = ("fake-continuous-v0",)
     cfg.eval.num_trials = 1
     cfg.eval.max_step_size = 4
+    cfg.eval.batched = False  # reference-style one-env loop still works
     cfg.train.save_dir = str(workspace / "eval_out")
     results = main(cfg)
     assert len(results) == 1
@@ -73,6 +86,26 @@ def test_evaluate_rl_main(workspace):
     assert np.isfinite(results[0]["return_mean"])
     out = open(os.path.join(cfg.train.save_dir, "results.output")).read()
     assert "return_mean" in out
+
+
+def test_evaluate_rl_main_batched(workspace):
+    """Production path: 3 envs / 2 decode geometries through the batched
+    lockstep driver (VERDICT r1 item 1)."""
+    from bdm_db1_tpu.eval.evaluate_rl import main
+
+    cfg = _tiny_cfg(workspace)
+    cfg.eval.env_names = ("fake-continuous-v0", "fake-continuous-b-v0",
+                          "fake-discrete-v0")
+    cfg.eval.num_trials = 2
+    cfg.eval.max_step_size = 3
+    cfg.eval.batch_size = 4  # cont-a/cont-b trials share lockstep batches
+    cfg.train.save_dir = str(workspace / "eval_out_batched")
+    results = main(cfg)
+    assert [r["env"] for r in results] == list(cfg.eval.env_names)
+    assert all(r["num_trials"] == 2 for r in results)
+    assert all(np.isfinite(r["return_mean"]) for r in results)
+    out = open(os.path.join(cfg.train.save_dir, "results.output")).read()
+    assert out.count("return_mean") == 3
 
 
 def test_preprocess_cli(workspace, tmp_path):
