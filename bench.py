@@ -1,7 +1,14 @@
-"""Headline benchmark: RL-eval decode throughput (actions/sec) of the 1.2B
-flagship on one TPU chip.
+"""Headline benchmarks of the 1.2B flagship on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Bare ``python bench.py`` emits TWO JSON lines
+{"metric", "value", "unit", "vs_baseline", ...}:
+
+  1. pretrain tokens/sec/chip with analytic-FLOPs MFU (train step:
+     fwd+bwd+AdamW, Pallas attention, remat, bf16),
+  2. RL-eval decode actions/sec (the headline metric, printed LAST so
+     drivers that parse the final line keep it as the headline).
+
+``--mode eval`` / ``--mode train`` run one of the two.
 
 Setup mirrors the reference's primary workload
 (reference: scripts/evaluate/evaluate_rl_1.2B.sh + evaluate_rl.py): a
@@ -32,6 +39,30 @@ import numpy as np
 
 A100_BASELINE_ACTIONS_PER_SEC = 10.0
 
+TPU_V5E_BF16_PEAK_FLOPS = 197e12
+
+
+def analytic_fwd_flops_per_token(model_cfg, padded_vocab: int,
+                                 qlen: int, klen: int) -> float:
+    """Forward FLOPs per token from the config (matmuls only, 2 FLOPs/MAC):
+    qkv/o projections, the r_net positional projection (amortized over the
+    qlen tokens that share it), the AC/BD/PV attention einsums at the real
+    klen, geglu FFN, and the tied LM head. Replaces the 8*N hand-wave the
+    r1 review flagged (VERDICT.md weak #3): attention + head terms here are
+    ~20% on top of parametric FLOPs at qlen=klen=1024."""
+    d = model_cfg.n_embed
+    di = model_cfg.d_inner
+    nl = model_cfg.n_layer
+    attn_proj = 2 * (3 * d * d) + 2 * d * d        # qkv + o_net
+    r_net = 2 * d * d * (klen / qlen)              # [klen,d]x[d,d] / qlen
+    scores = 3 * 2 * d * klen                      # AC + BD + PV einsums
+    if model_cfg.activation_fn == "geglu":
+        ffn = 2 * d * di + 2 * (di // 2) * d       # d->di, di/2->d
+    else:
+        ffn = 2 * d * di + 2 * di * d
+    head = 2 * d * padded_vocab                    # tied logits matmul
+    return nl * (attn_proj + r_net + scores + ffn) + head
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
@@ -41,16 +72,23 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=16,
                     help="envs decoded per device call (lockstep batch; "
                          "16 fits the 1.2B KV cache in one v5e chip's HBM)")
-    ap.add_argument("--mode", choices=["eval", "train"], default="eval",
-                    help="eval: RL actions/sec; train: pretrain tokens/sec/chip")
+    ap.add_argument("--mode", choices=["eval", "train", "both"],
+                    default="both",
+                    help="eval: RL actions/sec; train: pretrain "
+                         "tokens/sec/chip + MFU; both (default): train "
+                         "line first, eval headline line last")
     ap.add_argument("--micro", type=int, default=4,
                     help="train mode: per-chip micro batch size")
     ap.add_argument("--no-remat", action="store_true")
     args = ap.parse_args()
 
-    if args.mode == "train":
-        return bench_train(args)
+    if args.mode in ("train", "both"):
+        bench_train(args)
+    if args.mode in ("eval", "both"):
+        bench_eval(args)
 
+
+def bench_eval(args) -> None:
     import jax
 
     if args.smoke:
@@ -149,7 +187,7 @@ def main() -> None:
         "unit": "actions/sec",
         "vs_baseline": round(
             actions_per_sec / A100_BASELINE_ACTIONS_PER_SEC, 3),
-    }))
+    }), flush=True)
 
 
 def bench_train(args) -> None:
@@ -225,12 +263,17 @@ def bench_train(args) -> None:
         times.append(time.perf_counter() - t0)
     tokens_per_batch = accum * micro * n_dev * L
     tps_chip = tokens_per_batch / float(np.median(times)) / n_dev
-    # MFU at ~8 FLOPs/param/token (fwd+bwd+remat recompute)
-    n_params = 1.217e9 if not args.smoke else 1.5e5
-    peak = 197e12 if not args.smoke else 1e12  # v5e bf16 peak
-    mfu = tps_chip * 8 * n_params / peak
+    # analytic MFU: fwd+bwd = 3x fwd matmul FLOPs (remat recompute is NOT
+    # counted — model FLOPs, not hardware FLOPs), attention at the real
+    # qlen/klen (training runs memory-less: trunk() klen == qlen)
+    n_params = sum(int(np.prod(x.shape))
+                   for x in jax.tree.leaves(state.params))
+    fwd_ft = analytic_fwd_flops_per_token(
+        cfg.model, layout.padded_vocab_size, qlen=L, klen=L)
+    peak = TPU_V5E_BF16_PEAK_FLOPS if not args.smoke else 1e12
+    mfu = tps_chip * 3 * fwd_ft / peak
     # The reference publishes no training throughput. Baseline = an A100
-    # DeepSpeed fp16 DDP estimate at the same 40% MFU on a 312-TFLOP chip
+    # DeepSpeed fp16 DDP estimate at 40% MFU on a 312-TFLOP chip
     # (~16k tok/s/GPU); vs_baseline therefore mostly reflects the v5e:A100
     # peak-FLOPs ratio (0.63) — compare mfu for an apples-to-apples view.
     baseline = 16000.0
@@ -241,7 +284,9 @@ def bench_train(args) -> None:
         "unit": "tokens/sec/chip",
         "vs_baseline": round(tps_chip / baseline, 3),
         "mfu": round(mfu, 3),
-    }))
+        "n_params": n_params,
+        "flops_per_token_fwd": round(fwd_ft),
+    }), flush=True)
 
 
 if __name__ == "__main__":
