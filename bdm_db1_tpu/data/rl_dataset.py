@@ -215,6 +215,45 @@ class TrajectoryStore:
         return cls(obs, act, rew)
 
     @classmethod
+    def from_env_name(cls, env_name: str, cache_dir: str,
+                      max_path_length: Optional[int] = None
+                      ) -> "TrajectoryStore":
+        """Cache-or-build: attach to the per-env cache, building it first
+        from the live environment when absent (reference:
+        src/data/rl_dataset.py:213-217 builds on rank 0 behind a barrier
+        from d4rl ``env.get_dataset()``; cache write :300-357).
+
+        Process 0 resolves the env (registry first, then gym/d4rl), pulls
+        its offline dataset (``get_dataset`` for d4rl envs, ``make_dataset``
+        for the scripted fakes), segments it and writes the cache; other
+        processes wait on a global-device sync, then everyone attaches
+        lazily (mmap)."""
+        root = Path(cache_dir) / env_name
+        if not (root / "path_lengths.npy").exists():
+            import jax
+
+            if jax.process_index() == 0:
+                from bdm_db1_tpu.eval.envs import make_env
+
+                env = make_env(env_name)
+                if hasattr(env, "get_dataset"):      # d4rl API
+                    flat = env.get_dataset()
+                elif hasattr(env, "make_dataset"):   # scripted fakes
+                    flat = env.make_dataset()
+                else:
+                    raise ValueError(
+                        f"env {env_name!r} has no offline dataset "
+                        "(get_dataset/make_dataset) and no cache at "
+                        f"{root}")
+                cls.from_flat_dataset(flat, max_path_length).save_cache(
+                    cache_dir, env_name)
+            if jax.process_count() > 1:  # pragma: no cover (multi-host)
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices(f"rl_cache_{env_name}")
+        return cls.from_cache_dir(cache_dir, env_name)
+
+    @classmethod
     def from_cache_dir(cls, cache_dir: str, env_name: str) -> "TrajectoryStore":
         """Attach lazily to a cache directory written by ``save_cache`` (or
         by the reference; identical layout)."""
@@ -711,7 +750,10 @@ def build_rl_dataset_from_cache(
     tokenizer: RLTokenizerSuite,
     **kwargs,
 ) -> RLFullDataset:
-    """Attach to a reference-format cache dir (e.g. rl_minimal_exp_data)."""
-    store = TrajectoryStore.from_cache_dir(cache_dir, env_name)
+    """Attach to a reference-format cache dir (e.g. rl_minimal_exp_data);
+    when the cache is missing, build it from the live env first
+    (``TrajectoryStore.from_env_name`` — the reference's first-use
+    d4rl ingestion, rl_dataset.py:213-217)."""
+    store = TrajectoryStore.from_env_name(env_name, cache_dir)
     return RLFullDataset(env_name, store, tokenizer, seq_length,
                          cache_dir=cache_dir, **kwargs)

