@@ -9,6 +9,8 @@
 
 #include <cstdint>
 #include <algorithm>
+#include <cmath>
+#include <random>
 
 extern "C" {
 
@@ -81,159 +83,168 @@ void build_blending_indices(const double* weights, int64_t n_datasets,
     delete[] counts;
 }
 
-// BERT-style sentence-pair sample map (reference: helpers.cpp:221-~470
-// build_mapping): group consecutive sentences of each document into samples
-// of ~target length (randomly shortened with prob short_seq_prob), two-pass
-// (count, then fill), then in-place Fisher-Yates shuffle. Rows are
-// (sentence_start, sentence_end, target_seq_length).
-//
-// First call with out == nullptr to get the row count; allocate; call again.
-int64_t build_mapping(const int64_t* docs, int64_t n_docs_plus1,
-                      const int64_t* sizes, int64_t num_epochs,
-                      int64_t max_num_samples, int64_t max_seq_length,
-                      double short_seq_prob, uint64_t seed, int64_t* out) {
-    const int64_t n_docs = n_docs_plus1 - 1;
-    uint64_t rstate = seed ? seed : 1;
-    auto next_rand = [&rstate]() {
-        // xorshift64* — deterministic across platforms
-        rstate ^= rstate >> 12;
-        rstate ^= rstate << 25;
-        rstate ^= rstate >> 27;
-        return rstate * 2685821657736338717ULL;
-    };
-    auto rand_double = [&]() {
-        return (next_rand() >> 11) * (1.0 / 9007199254740992.0);
-    };
-    auto rand_range = [&](int64_t lo, int64_t hi) {  // [lo, hi]
-        return lo + static_cast<int64_t>(next_rand() % (hi - lo + 1));
-    };
+// ---------------------------------------------------------------------------
+// BERT/ICT sentence-block sample maps. Algorithm-exact re-implementations of
+// the reference's build_mapping / build_blocks_mapping
+// (reference: src/data/helpers.cpp:205-728): same std::mt19937(seed) target-
+// length draws (one uint32 draw per eligible document start and per emitted
+// sample when short_seq_prob > 0), same emission rule (reach target length
+// with >1 / >=min sentences remaining, or exhaust the document), same
+// LONG_SENTENCE_LEN=512 document exclusion, same epoch-boundary sample cap
+// (checked at epoch start only, so the final epoch may overshoot
+// max_num_samples), and the same std::mt19937_64(seed + 1) Fisher-Yates
+// shuffle. The C ABI replaces pybind11: call once with out == nullptr for
+// the row count, allocate, call again to fill (the fresh seeded RNG replays
+// the identical draw sequence, standing in for the reference's two-pass
+// loop over one generator).
+// ---------------------------------------------------------------------------
 
-    int64_t count = 0;
-    for (int64_t epoch = 0; epoch < num_epochs; ++epoch) {
-        for (int64_t d = 0; d < n_docs; ++d) {
-            const int64_t s_begin = docs[d];
-            const int64_t s_end = docs[d + 1];
-            if (s_end - s_begin < 1) continue;
-            int64_t target = max_seq_length;
-            if (rand_double() < short_seq_prob) {
-                target = rand_range(2, max_seq_length);
-            }
-            int64_t start = s_begin;
-            int64_t acc = 0;
-            for (int64_t s = s_begin; s < s_end; ++s) {
-                acc += sizes[s];
-                const bool last = (s == s_end - 1);
-                if (acc >= target || last) {
-                    if (s > start || sizes[start] > 1) {
-                        if (count >= num_epochs * max_num_samples &&
-                            max_num_samples > 0) {
-                            goto done;
-                        }
-                        if (out != nullptr) {
-                            out[count * 3 + 0] = start;
-                            out[count * 3 + 1] = s + 1;
-                            out[count * 3 + 2] = target;
-                        }
-                        ++count;
-                    }
-                    start = s + 1;
-                    acc = 0;
-                    target = max_seq_length;
-                    if (rand_double() < short_seq_prob) {
-                        target = rand_range(2, max_seq_length);
-                    }
-                }
-            }
-        }
+static const int32_t LONG_SENTENCE_LEN = 512;
+
+static inline int32_t target_sample_len(int32_t short_seq_ratio,
+                                        int32_t max_length,
+                                        std::mt19937& gen) {
+    if (short_seq_ratio == 0) {
+        return max_length;  // no draw (reference: helpers.cpp:205-218)
     }
-done:
-    if (out != nullptr && count > 1) {
-        // in-place Fisher-Yates shuffle (reference: helpers.cpp shuffle pass)
-        for (int64_t i = count - 1; i > 0; --i) {
-            const int64_t j = static_cast<int64_t>(next_rand() % (i + 1));
-            for (int k = 0; k < 3; ++k) {
-                const int64_t t = out[i * 3 + k];
-                out[i * 3 + k] = out[j * 3 + k];
-                out[j * 3 + k] = t;
-            }
-        }
+    const uint32_t r = gen();
+    if ((r % static_cast<uint32_t>(short_seq_ratio)) == 0) {
+        return 2 + static_cast<int32_t>(
+            r % static_cast<uint32_t>(max_length - 1));
     }
-    return count;
+    return max_length;
 }
 
-// ICT/block-style map (reference: helpers.cpp:~470-728 build_blocks_mapping):
-// like build_mapping but each sample also records its document id, so block
-// samples can pair with their title. Rows are
-// (sentence_start, sentence_end, doc_id, target_seq_length).
-int64_t build_blocks_mapping(const int64_t* docs, int64_t n_docs_plus1,
-                             const int64_t* sizes, const int64_t* doc_ids,
-                             int64_t num_epochs, int64_t max_num_samples,
-                             int64_t max_seq_length, double short_seq_prob,
-                             uint64_t seed, int64_t* out) {
-    const int64_t n_docs = n_docs_plus1 - 1;
-    uint64_t rstate = seed ? seed : 1;
-    auto next_rand = [&rstate]() {
-        rstate ^= rstate >> 12;
-        rstate ^= rstate << 25;
-        rstate ^= rstate >> 27;
-        return rstate * 2685821657736338717ULL;
-    };
-    auto rand_double = [&]() {
-        return (next_rand() >> 11) * (1.0 / 9007199254740992.0);
-    };
-    auto rand_range = [&](int64_t lo, int64_t hi) {
-        return lo + static_cast<int64_t>(next_rand() % (hi - lo + 1));
-    };
+static void shuffle_rows(int64_t* out, int64_t count, int64_t width,
+                         uint64_t seed) {
+    std::mt19937_64 gen(seed);
+    for (int64_t i = count - 1; i > 0; --i) {
+        const int64_t j = static_cast<int64_t>(gen() % (i + 1));
+        for (int64_t k = 0; k < width; ++k) {
+            std::swap(out[i * width + k], out[j * width + k]);
+        }
+    }
+}
 
-    int64_t count = 0;
-    for (int64_t epoch = 0; epoch < num_epochs; ++epoch) {
+// Rows: (sentence_start, sentence_end, target_seq_length).
+int64_t build_mapping(const int64_t* docs, int64_t n_docs_plus1,
+                      const int32_t* sizes, int32_t num_epochs,
+                      uint64_t max_num_samples, int32_t max_seq_length,
+                      double short_seq_prob, uint64_t seed,
+                      int32_t min_num_sent, int64_t* out) {
+    const int64_t n_docs = n_docs_plus1 - 1;
+    int32_t short_seq_ratio = 0;
+    if (short_seq_prob > 0) {
+        short_seq_ratio = static_cast<int32_t>(
+            std::round(1.0 / short_seq_prob));
+    }
+    std::mt19937 gen(static_cast<uint32_t>(seed));
+
+    uint64_t map_index = 0;
+    for (int32_t epoch = 0; epoch < num_epochs; ++epoch) {
+        if (map_index >= max_num_samples) break;
         for (int64_t d = 0; d < n_docs; ++d) {
-            const int64_t s_begin = docs[d];
-            const int64_t s_end = docs[d + 1];
-            if (s_end - s_begin < 1) continue;
-            int64_t target = max_seq_length;
-            if (rand_double() < short_seq_prob) {
-                target = rand_range(2, max_seq_length);
+            const int64_t first = docs[d];
+            const int64_t last = docs[d + 1];
+            int64_t prev_start = first;
+            int64_t remain = last - first;
+
+            bool has_long = false;
+            if (remain > 1) {  // reference gates this scan on >1, not >=min
+                for (int64_t s = first; s < last; ++s) {
+                    if (sizes[s] > LONG_SENTENCE_LEN) { has_long = true; break; }
+                }
             }
-            int64_t start = s_begin;
-            int64_t acc = 0;
-            for (int64_t s = s_begin; s < s_end; ++s) {
-                acc += sizes[s];
-                const bool last = (s == s_end - 1);
-                if (acc >= target || last) {
-                    if (count >= num_epochs * max_num_samples &&
-                        max_num_samples > 0) {
-                        goto done2;
-                    }
+            if (remain < min_num_sent || has_long) continue;
+
+            int32_t seq_len = 0;
+            int32_t num_sent = 0;
+            int32_t target = target_sample_len(short_seq_ratio,
+                                               max_seq_length, gen);
+            for (int64_t s = first; s < last; ++s) {
+                seq_len += sizes[s];
+                ++num_sent;
+                --remain;
+                if ((seq_len >= target && remain > 1 &&
+                     num_sent >= min_num_sent) || remain == 0) {
                     if (out != nullptr) {
-                        out[count * 4 + 0] = start;
-                        out[count * 4 + 1] = s + 1;
-                        out[count * 4 + 2] = doc_ids ? doc_ids[d] : d;
-                        out[count * 4 + 3] = target;
+                        out[map_index * 3 + 0] = prev_start;
+                        out[map_index * 3 + 1] = s + 1;
+                        out[map_index * 3 + 2] = target;
                     }
-                    ++count;
-                    start = s + 1;
-                    acc = 0;
-                    target = max_seq_length;
-                    if (rand_double() < short_seq_prob) {
-                        target = rand_range(2, max_seq_length);
-                    }
+                    ++map_index;
+                    prev_start = s + 1;
+                    target = target_sample_len(short_seq_ratio,
+                                               max_seq_length, gen);
+                    seq_len = 0;
+                    num_sent = 0;
                 }
             }
         }
     }
-done2:
-    if (out != nullptr && count > 1) {
-        for (int64_t i = count - 1; i > 0; --i) {
-            const int64_t j = static_cast<int64_t>(next_rand() % (i + 1));
-            for (int k = 0; k < 4; ++k) {
-                const int64_t t = out[i * 4 + k];
-                out[i * 4 + k] = out[j * 4 + k];
-                out[j * 4 + k] = t;
+    if (out != nullptr) {
+        shuffle_rows(out, static_cast<int64_t>(map_index), 3, seed + 1);
+    }
+    return static_cast<int64_t>(map_index);
+}
+
+// Rows: (sentence_start, sentence_end, doc, block_id); target length is
+// max_seq_length - titles_sizes[doc]; block_id restarts every epoch.
+int64_t build_blocks_mapping(const int64_t* docs, int64_t n_docs_plus1,
+                             const int32_t* sizes,
+                             const int32_t* titles_sizes,
+                             int32_t num_epochs, uint64_t max_num_samples,
+                             int32_t max_seq_length, uint64_t seed,
+                             int32_t use_one_sent_blocks, int64_t* out) {
+    const int64_t n_docs = n_docs_plus1 - 1;
+    const int32_t min_num_sent = use_one_sent_blocks ? 1 : 2;
+
+    uint64_t map_index = 0;
+    for (int32_t epoch = 0; epoch < num_epochs; ++epoch) {
+        int64_t block_id = 0;
+        if (map_index >= max_num_samples) break;
+        for (int64_t d = 0; d < n_docs; ++d) {
+            const int64_t first = docs[d];
+            const int64_t last = docs[d + 1];
+            const int32_t target = max_seq_length - titles_sizes[d];
+            int64_t prev_start = first;
+            int64_t remain = last - first;
+
+            bool has_long = false;
+            if (remain >= min_num_sent) {
+                for (int64_t s = first; s < last; ++s) {
+                    if (sizes[s] > LONG_SENTENCE_LEN) { has_long = true; break; }
+                }
+            }
+            if (remain < min_num_sent || has_long) continue;
+
+            int32_t seq_len = 0;
+            int32_t num_sent = 0;
+            for (int64_t s = first; s < last; ++s) {
+                seq_len += sizes[s];
+                ++num_sent;
+                --remain;
+                if ((seq_len >= target && remain >= min_num_sent &&
+                     num_sent >= min_num_sent) || remain == 0) {
+                    if (out != nullptr) {
+                        out[map_index * 4 + 0] = prev_start;
+                        out[map_index * 4 + 1] = s + 1;
+                        out[map_index * 4 + 2] = d;
+                        out[map_index * 4 + 3] = block_id;
+                    }
+                    ++map_index;
+                    ++block_id;
+                    prev_start = s + 1;
+                    seq_len = 0;
+                    num_sent = 0;
+                }
             }
         }
     }
-    return count;
+    if (out != nullptr) {
+        shuffle_rows(out, static_cast<int64_t>(map_index), 4, seed + 1);
+    }
+    return static_cast<int64_t>(map_index);
 }
 
 }  // extern "C"

@@ -188,11 +188,14 @@ class IndexedDataset:
             code, self._element_size = struct.unpack("<QQ", f.read(16))
             self.dtype = np.dtype(_DTYPES[code])
             self._len, self._s = struct.unpack("<QQ", f.read(16))
+            (self._doc_count,) = struct.unpack("<Q", f.read(8))
             self.dim_offsets = np.frombuffer(
                 f.read(8 * (self._len + 1)), dtype=np.int64)
             self.data_offsets = np.frombuffer(
                 f.read(8 * (self._len + 1)), dtype=np.int64)
             self.sizes = np.frombuffer(f.read(8 * self._s), dtype=np.int64)
+            self.doc_idx = np.frombuffer(
+                f.read(8 * self._doc_count), dtype=np.int64)
         self._file = None
 
     def _ensure_open(self):
@@ -245,6 +248,7 @@ class IndexedDatasetBuilder:
         self.data_offsets = [0]
         self.dim_offsets = [0]
         self.sizes: List[int] = []
+        self.doc_idx = [0]
 
     def add_item(self, tokens: np.ndarray) -> None:
         arr = np.asarray(tokens, dtype=self._dtype)
@@ -253,8 +257,26 @@ class IndexedDatasetBuilder:
         self.sizes.extend(arr.shape)
         self.dim_offsets.append(self.dim_offsets[-1] + arr.ndim)
 
+    def end_document(self) -> None:
+        self.doc_idx.append(len(self.sizes))
+
     def add_document(self, tokens: np.ndarray) -> None:
         self.add_item(tokens)
+        self.end_document()
+
+    def merge_file_(self, other_prefix: str) -> None:
+        other = IndexedDataset(other_prefix)
+        assert other.dtype == self._dtype
+        doc_offset = len(self.sizes)
+        data_begin = self.data_offsets[-1]
+        self.data_offsets.extend(
+            (data_begin + other.data_offsets[1:]).tolist())
+        self.sizes.extend(other.sizes.tolist())
+        dim_begin = self.dim_offsets[-1]
+        self.dim_offsets.extend((dim_begin + other.dim_offsets[1:]).tolist())
+        self.doc_idx.extend((doc_offset + other.doc_idx[1:]).tolist())
+        with open(data_file_path(other_prefix), "rb") as f:
+            shutil.copyfileobj(f, self._data)
 
     def finalize(self) -> None:
         self._data.close()
@@ -265,9 +287,11 @@ class IndexedDatasetBuilder:
                                 self._dtype.itemsize))
             f.write(struct.pack("<QQ", len(self.data_offsets) - 1,
                                 len(self.sizes)))
+            f.write(struct.pack("<Q", len(self.doc_idx)))
             f.write(np.asarray(self.dim_offsets, np.int64).tobytes())
             f.write(np.asarray(self.data_offsets, np.int64).tobytes())
             f.write(np.asarray(self.sizes, np.int64).tobytes())
+            f.write(np.asarray(self.doc_idx, np.int64).tobytes())
 
 
 # ---------------------------------------------------------------------------

@@ -30,6 +30,28 @@ from bdm_db1_tpu.data.packing import action_flags_and_position_ids
 from bdm_db1_tpu.models.transformer_xl import TransformerXL
 
 
+def fold_env_mask_bias(base_bias: np.ndarray, layout: VocabLayout,
+                       discrete_action: bool, num_actions,
+                       env_action_mask) -> np.ndarray:
+    """Fold an env-supplied 0/1 action mask ([n] or [B, n]) into a base
+    logit bias (reference: evaluate_rl.py:119-123). Shared by the memory
+    (ActionDecoder) and stateless (WindowDecoder) paths."""
+    if env_action_mask is None or not discrete_action:
+        return base_bias
+    m = np.asarray(env_action_mask, np.float32)
+    extra = np.abs(m - 1) * 1e10
+    lo = layout.discrete_offset
+    hi = lo + num_actions
+    if m.ndim == 1:
+        bias = base_bias.copy()
+        bias[lo:hi] -= extra
+    else:
+        bias = np.broadcast_to(
+            base_bias, (m.shape[0],) + base_bias.shape).copy()
+        bias[:, lo:hi] -= extra
+    return bias
+
+
 class ActionDecoder:
     """Per-environment-geometry greedy decoder (jit cache per prime qlen)."""
 
@@ -88,22 +110,9 @@ class ActionDecoder:
             {"params": self.params}, batch_size, method=method)
 
     def bias_with_env_mask(self, env_action_mask) -> np.ndarray:
-        """Fold an env-supplied 0/1 action mask ([n] or [B, n]) into the base
-        bias (reference: evaluate_rl.py:119-123)."""
-        bias = self._base_bias
-        if env_action_mask is not None and self.discrete_action:
-            m = np.asarray(env_action_mask, np.float32)
-            extra = np.abs(m - 1) * 1e10
-            lo = self.layout.discrete_offset
-            hi = lo + self._num_actions
-            if m.ndim == 1:
-                bias = bias.copy()
-                bias[lo:hi] -= extra
-            else:
-                bias = np.broadcast_to(
-                    bias, (m.shape[0],) + bias.shape).copy()
-                bias[:, lo:hi] -= extra
-        return bias
+        return fold_env_mask_bias(
+            self._base_bias, self.layout, self.discrete_action,
+            self._num_actions, env_action_mask)
 
     def decode(
         self,
@@ -241,22 +250,38 @@ class WindowDecoder:
                ) -> Tuple[np.ndarray, np.ndarray]:
         """seq_tokens: [q] current sequence (<= window). Returns
         (action token ids [action_length], extended sequence [q+action_length])."""
-        q = len(seq_tokens)
-        assert q + self.action_length <= self.window, (q, self.window)
+        acts, extended = self.decode_batch([seq_tokens], env_action_mask)
+        return acts[0], extended[0]
+
+    def decode_batch(self, seqs, env_action_mask=None):
+        """Batched stateless decode over same-geometry rows with per-row
+        live lengths. seqs: list of [q_i] token arrays (each
+        q_i + action_length <= window); env_action_mask: None, [n], or
+        [B, n]. Returns (action ids [B, action_length], list of extended
+        sequences). One device program for the whole batch."""
+        b = len(seqs)
+        lengths = np.array([len(s) for s in seqs], np.int32)
+        assert (lengths + self.action_length <= self.window).all(), (
+            lengths, self.window)
         _, pos = action_flags_and_position_ids(
             self.window, self.obs_length, self.action_length, 0)
-        padded = np.zeros((self.window,), np.int64)
-        padded[:q] = seq_tokens
-        bias = ActionDecoder.bias_with_env_mask(self, env_action_mask)
-        act = self._jit(
+        padded = np.zeros((b, self.window), np.int64)
+        for i, s in enumerate(seqs):
+            padded[i, :lengths[i]] = s
+        bias = fold_env_mask_bias(
+            self._base_bias, self.layout, self.discrete_action,
+            self._num_actions, env_action_mask)
+        if bias.ndim == 1:
+            bias = np.broadcast_to(bias, (b,) + bias.shape)
+        acts = np.asarray(self._jit(
             {"params": self.params},
-            jnp.asarray(padded, jnp.int32)[None],
-            jnp.asarray(pos, jnp.int32)[None],
-            jnp.asarray([q], jnp.int32),
-            jnp.asarray(bias)[None] if bias.ndim == 1 else jnp.asarray(bias),
-        )
-        act = np.asarray(act)[0]
-        return act, np.concatenate([seq_tokens, act])
+            jnp.asarray(padded, jnp.int32),
+            jnp.broadcast_to(
+                jnp.asarray(pos, jnp.int32)[None], (b, self.window)),
+            jnp.asarray(lengths),
+            jnp.asarray(bias),
+        ))
+        return acts, [np.concatenate([s, a]) for s, a in zip(seqs, acts)]
 
 
 def _window_decode(model, action_length, variables, tokens, pos, lengths,

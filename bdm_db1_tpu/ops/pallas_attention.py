@@ -20,9 +20,11 @@ Masking (plain causal or TXL ``same_length`` sliding window,
 reference: transformer_xl.py:551-567) happens via in-kernel index
 arithmetic — no mask tensor in HBM.
 
-Forward is Pallas; the custom VJP recomputes gradients through the XLA
-reference path (identical math), so training gradients are exact while the
-hot forward runs fused.
+Both directions are Pallas: the forward kernel saves the online-softmax
+row stats (m, l); the custom VJP runs fused dq and dk/dv/drk kernels that
+recompute score tiles from those stats (flash-attention style), so no
+[q, k] tensor is ever materialized in training either. Parity with the XLA
+path's gradients is enforced by tests/test_pallas_attention.py.
 """
 
 from __future__ import annotations
@@ -434,15 +436,29 @@ def _pallas_rel_attention_bwd_impl(
         interpret=interpret,
     )(qh, kh, vh, rkh, rw, rr, do, m, l, delta)
 
-    # assemble drk: partial j covers padded-rk rows [j*bk, j*bk + part_rows)
-    drk_full = jnp.zeros((b * h, rklen, dh), jnp.float32)
-    for j in range(nk):
-        drk_full = jax.lax.dynamic_update_slice(
-            drk_full,
-            jax.lax.dynamic_slice(
-                drk_full, (0, j * block_k, 0), (b * h, part_rows, dh)
-            ) + drk_parts[:, j],
-            (0, j * block_k, 0))
+    # assemble drk: partial j covers padded-rk rows [j*bk, j*bk + part_rows).
+    # part_rows = qlen + bk is a whole number of bk-slabs (qlen % bk == 0 by
+    # pallas_applicable), and slab t of partial j lands on output slab j + t
+    # — same-t slabs never overlap across partials, so the band-overlap sum
+    # is nt pads + one fused add (a single pass over the partials) instead
+    # of nk read-modify-write sweeps of the full [bh, rklen, dh] buffer.
+    if qlen % block_k == 0:
+        nt = part_rows // block_k
+        slabs = drk_parts.reshape(b * h, nk, nt, block_k, dh)
+        drk_full = sum(
+            jnp.pad(
+                slabs[:, :, t].reshape(b * h, nk * block_k, dh),
+                ((0, 0), (t * block_k, rklen - (nk + t) * block_k), (0, 0)))
+            for t in range(nt))
+    else:  # uneven blocks (block_q < block_k): rare, keep the slow path
+        drk_full = jnp.zeros((b * h, rklen, dh), jnp.float32)
+        for j in range(nk):
+            drk_full = jax.lax.dynamic_update_slice(
+                drk_full,
+                jax.lax.dynamic_slice(
+                    drk_full, (0, j * block_k, 0), (b * h, part_rows, dh)
+                ) + drk_parts[:, j],
+                (0, j * block_k, 0))
     drk = drk_full[:, :klen].reshape(b, h, klen, dh).sum(axis=0)
     drk = drk.transpose(1, 0, 2)  # [klen, h, dh]
 

@@ -81,6 +81,88 @@ def test_legacy_roundtrip(tmp_path):
     np.testing.assert_array_equal(cached[1], DOCS[1])
 
 
+def _reference_tntidx_bytes(docs, dtype, doc_ends):
+    """Build .idx/.bin bytes per the reference legacy writer's documented
+    layout (reference: src/data/indexed_dataset.py:330-342 —
+    magic, <Q version, <QQ dtype-code/element-size, <QQ len/s, <Q doc-count,
+    then int64 dim_offsets / data_offsets / sizes / doc_idx; .bin is the
+    raw concatenation). Hand-assembled here so the test is a true
+    golden-bytes check of cross-reading reference-written files."""
+    import struct
+
+    from bdm_db1_tpu.data.indexed_dataset import dtype_code
+
+    dtype = np.dtype(dtype)
+    arrays = [np.asarray(d, dtype=dtype) for d in docs]
+    bin_bytes = b"".join(a.tobytes() for a in arrays)
+    data_offsets = np.cumsum([0] + [a.size for a in arrays])
+    dim_offsets = np.cumsum([0] + [a.ndim for a in arrays])
+    sizes = [s for a in arrays for s in a.shape]
+    doc_idx = [0] + list(doc_ends)
+    idx = (b"TNTIDX\x00\x00"
+           + struct.pack("<Q", 1)
+           + struct.pack("<QQ", dtype_code(dtype), dtype.itemsize)
+           + struct.pack("<QQ", len(arrays), len(sizes))
+           + struct.pack("<Q", len(doc_idx))
+           + np.asarray(dim_offsets, np.int64).tobytes()
+           + np.asarray(data_offsets, np.int64).tobytes()
+           + np.asarray(sizes, np.int64).tobytes()
+           + np.asarray(doc_idx, np.int64).tobytes())
+    return idx, bin_bytes
+
+
+def test_legacy_reads_reference_written_bytes(tmp_path):
+    """Cross-compat: bytes laid out exactly as the reference legacy writer
+    produces them must parse (docs, partial metadata, doc_idx)."""
+    doc_ends = [1, 2, 3, 4]  # end_document after every sentence
+    idx, binb = _reference_tntidx_bytes(DOCS, np.int32, doc_ends)
+    prefix = str(tmp_path / "refbytes")
+    with open(prefix + ".idx", "wb") as f:
+        f.write(idx)
+    with open(prefix + ".bin", "wb") as f:
+        f.write(binb)
+    ds = IndexedDataset(prefix)
+    assert len(ds) == len(DOCS)
+    for i, d in enumerate(DOCS):
+        np.testing.assert_array_equal(ds[i], d)
+    np.testing.assert_array_equal(ds.doc_idx, [0] + doc_ends)
+
+
+def test_legacy_writer_matches_reference_bytes(tmp_path):
+    """Our legacy builder must emit byte-identical .idx/.bin to the
+    reference writer for the same documents (so files we write are loadable
+    by the reference and vice versa)."""
+    prefix = str(tmp_path / "ours")
+    b = IndexedDatasetBuilder(prefix, dtype=np.int32)
+    for d in DOCS:
+        b.add_document(np.asarray(d))
+    b.finalize()
+    golden_idx, golden_bin = _reference_tntidx_bytes(
+        DOCS, np.int32, [1, 2, 3, 4])
+    with open(prefix + ".idx", "rb") as f:
+        assert f.read() == golden_idx
+    with open(prefix + ".bin", "rb") as f:
+        assert f.read() == golden_bin
+
+
+def test_legacy_merge(tmp_path):
+    p1 = str(tmp_path / "part1")
+    b = IndexedDatasetBuilder(p1, dtype=np.int32)
+    for d in DOCS[:2]:
+        b.add_document(np.asarray(d))
+    b.finalize()
+    b = IndexedDatasetBuilder(str(tmp_path / "lmerged"), dtype=np.int32)
+    b.add_document(np.asarray(DOCS[2]))
+    b.merge_file_(p1)
+    b.finalize()
+    ds = IndexedDataset(str(tmp_path / "lmerged"))
+    assert len(ds) == 3
+    np.testing.assert_array_equal(ds[0], DOCS[2])
+    np.testing.assert_array_equal(ds[1], DOCS[0])
+    np.testing.assert_array_equal(ds[2], DOCS[1])
+    np.testing.assert_array_equal(ds.doc_idx, [0, 1, 2, 3])
+
+
 def test_build_sample_idx_spans():
     sizes = np.array([10, 20, 5, 50])
     doc_idx = np.array([0, 1, 2, 3])
@@ -219,6 +301,66 @@ def test_native_mapping_builders():
         m, native.build_mapping(docs, sizes, 2, 100, 12, 0.1, 7))
 
     b = native.build_blocks_mapping(
-        docs, sizes, np.array([10, 20, 30]), 2, 100, 12, 0.1, 7)
+        docs, sizes, np.array([1, 2, 3]), 2, 100, 12, seed=7)
     assert b.shape[1] == 4
-    assert set(b[:, 2].tolist()) <= {10, 20, 30}
+    assert set(b[:, 2].tolist()) <= {0, 1, 2}  # doc index, not an id remap
+
+
+def _mapping_corpus(seed=0, n_docs=40):
+    """Fixed corpus with every structural case: empty docs, one-sentence
+    docs, long-sentence docs (>512), and multi-sentence docs."""
+    rng = np.random.RandomState(seed)
+    sizes, docs = [], [0]
+    for d in range(n_docs):
+        kind = d % 5
+        if kind == 0:
+            n_sent = 0  # empty doc
+        elif kind == 1:
+            n_sent = 1  # one-sentence doc
+        else:
+            n_sent = rng.randint(2, 8)
+        for _ in range(n_sent):
+            sizes.append(int(rng.randint(3, 40)))
+        if kind == 4 and n_sent:
+            sizes[-1] = 600  # long sentence -> doc excluded
+        docs.append(len(sizes))
+    return np.asarray(docs, np.int64), np.asarray(sizes, np.int32)
+
+
+@pytest.mark.parametrize("min_num_sent,short_prob", [(2, 0.1), (1, 0.0)])
+def test_build_mapping_native_matches_python_port(min_num_sent, short_prob):
+    """Golden check: the native build_mapping must produce bit-identical
+    rows (including mt19937 target draws and the mt19937_64 shuffle order)
+    to the pure-python port of the reference algorithm."""
+    if not native.native_available():
+        pytest.skip("native helpers unavailable")
+    docs, sizes = _mapping_corpus()
+    for epochs, cap in [(1, 10**9), (3, 25)]:
+        got = native.build_mapping(
+            docs, sizes, epochs, cap, 64, short_prob, 1234, min_num_sent)
+        want = native._build_mapping_py(
+            docs, sizes, epochs, cap, 64, short_prob, 1234, min_num_sent)
+        np.testing.assert_array_equal(got, want)
+    assert len(native.build_mapping(
+        docs, sizes, 3, 10**9, 64, short_prob, 1234, min_num_sent)) > 0
+
+
+@pytest.mark.parametrize("one_sent", [False, True])
+def test_build_blocks_mapping_native_matches_python_port(one_sent):
+    if not native.native_available():
+        pytest.skip("native helpers unavailable")
+    docs, sizes = _mapping_corpus(seed=3)
+    titles = np.arange(len(docs) - 1, dtype=np.int32) % 7
+    for epochs, cap in [(2, 10**9), (2, 13)]:
+        got = native.build_blocks_mapping(
+            docs, sizes, titles, epochs, cap, 64, 99, one_sent)
+        want = native._build_blocks_mapping_py(
+            docs, sizes, titles, epochs, cap, 64, 99, one_sent)
+        np.testing.assert_array_equal(got, want)
+    full = native.build_blocks_mapping(
+        docs, sizes, titles, 1, 10**9, 64, 99, one_sent)
+    assert (full[:, 1] > full[:, 0]).all()
+    if not one_sent:
+        # every emitted block came from a doc with >= 2 sentences
+        doc_lens = (docs[1:] - docs[:-1])[full[:, 2]]
+        assert (doc_lens >= 2).all()

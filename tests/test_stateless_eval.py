@@ -59,6 +59,24 @@ def test_window_decoder_tokens_in_range(setup):
     np.testing.assert_array_equal(new_seq[-2:], act)
 
 
+def test_window_decoder_batched_matches_single(setup):
+    """decode_batch over rows with different live lengths must equal
+    per-row single decodes (same compiled program, batched)."""
+    cfg, tenv, decoder = setup
+    obs1, _, _ = tenv.reset()
+    seq1 = np.concatenate([obs1, [tenv.separator_id]])
+    # a longer row: one full transition of history before the live obs
+    obs2, _, _ = tenv.reset()
+    hist_act, _ = decoder.decode(seq1)
+    seq2 = np.concatenate([seq1, hist_act, obs2, [tenv.separator_id]])
+    acts, extended = decoder.decode_batch([seq1, seq2])
+    a1, _ = decoder.decode(seq1)
+    a2, _ = decoder.decode(seq2)
+    np.testing.assert_array_equal(acts[0], a1)
+    np.testing.assert_array_equal(acts[1], a2)
+    np.testing.assert_array_equal(extended[1][:len(seq2)], seq2)
+
+
 @pytest.mark.parametrize("strategy", ["fixed_prompt", "moving"])
 def test_stateless_episode_completes(setup, strategy):
     cfg, tenv, decoder = setup
