@@ -103,10 +103,15 @@ class ModelConfig:
 
 @dataclass
 class MeshConfig:
-    """SPMD device mesh over ICI/DCN. DP = ``data`` axis, TP = ``model`` axis."""
+    """SPMD device mesh over ICI/DCN. DP = ``data`` axis, TP = ``model``
+    axis; PP (> 1) adds a ``pipe`` axis and runs the GPipe trunk
+    (parallel/pipeline.py) with layer params sharded across stages."""
 
     data_parallel: int = -1  # -1: infer from device count / model_parallel
     model_parallel: int = 1
+    pipeline_parallel: int = 1
+    # pipeline microbatches per (grad-accum) micro step; -1 -> 2 * stages
+    pipeline_microbatches: int = -1
     axis_names: Tuple[str, str] = ("data", "model")
 
 

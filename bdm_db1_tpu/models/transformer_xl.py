@@ -114,6 +114,24 @@ def narrow_dots_policy(max_width: int):
     return policy
 
 
+def remat_policy_for(cfg: ModelConfig):
+    """jax.checkpoint policy for cfg.remat_policy (None = save nothing).
+    Every policy additionally saves the named Pallas attention outputs —
+    a pallas_call is not a dot_general, so without the name match the
+    backward pass re-runs the entire forward kernel per layer."""
+    policy = None
+    if cfg.remat_policy == "dots":
+        policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    elif cfg.remat_policy == "dots_narrow":
+        policy = narrow_dots_policy(cfg.n_embed)
+    if policy is not None:
+        policy = jax.checkpoint_policies.save_from_both_policies(
+            policy,
+            jax.checkpoint_policies.save_only_these_names(
+                "pallas_attn_out", "pallas_attn_m", "pallas_attn_l"))
+    return policy
+
+
 def _use_pallas(cfg: ModelConfig, qlen: int, klen: int,
                 use_dropatt: bool) -> bool:
     if cfg.attention_impl == "xla" or use_dropatt:
@@ -409,20 +427,15 @@ class TransformerXL(nn.Module):
         layer_cls = DecoderLayer
         if cfg.remat:
             # recompute each layer in backward: activation memory drops from
-            # O(n_layer * B * L * D) to O(B * L * D)
-            policy = None
-            if cfg.remat_policy == "dots":
-                policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-            elif cfg.remat_policy == "dots_narrow":
-                # like "dots" but the wide intermediates (qkv 3D, geglu
-                # d_inner) are recomputed in backward: at 1.2B/micro-8 this
-                # frees 5.6 GB of saved activations for +2 matmul
-                # recomputes/layer (~19% hardware FLOPs) — the trade that
-                # lets a bigger micro batch fit one v5e chip's HBM
-                policy = narrow_dots_policy(cfg.n_embed)
+            # O(n_layer * B * L * D) to O(B * L * D). "dots" saves matmul
+            # outputs (recompute elementwise only); "dots_narrow" also
+            # recomputes the wide intermediates (qkv 3D, geglu d_inner) —
+            # at 1.2B/micro-8 that frees 5.6 GB of saved activations for
+            # +2 matmul recomputes/layer, letting a bigger micro batch fit
+            # one v5e chip's HBM
             layer_cls = nn.remat(
                 DecoderLayer, static_argnums=(7,),
-                prevent_cse=False, policy=policy,
+                prevent_cse=False, policy=remat_policy_for(cfg),
             )
         ScanLayers = nn.scan(
             layer_cls,
@@ -699,6 +712,47 @@ class TransformerXL(nn.Module):
         return self.lm_head(h).astype(jnp.float32)
 
     # ---- entry points ---------------------------------------------------------
+    def embed_concat(
+        self, batch: Dict[str, Any], deterministic: bool = True,
+        with_targets: bool = True,
+    ):
+        """Embed every modality group and concatenate along batch (the input
+        half of ``__call__``; split out so a pipelined trunk can run between
+        embedding and the loss head). Returns (h, loss_mask, label) — the
+        latter two None when with_targets=False."""
+        embed_fns = {
+            "rl": self.embed_rl, "nlp": self.embed_nlp,
+            "ic": self.embed_ic, "vqa": self.embed_vqa,
+        }
+        embs, masks, labels = [], [], []
+        for name in MODALITY_ORDER:
+            if name not in batch or batch[name] is None:
+                continue
+            sub = batch[name]
+            embs.append(embed_fns[name](sub, deterministic))
+            if with_targets:
+                masks.append(sub.loss_mask)
+                labels.append(jnp.maximum(sub.label, 0))
+        h = jnp.concatenate(embs, axis=0) if len(embs) > 1 else embs[0]
+        if not with_targets:
+            return h, None, None
+        return (h, jnp.concatenate(masks, axis=0).astype(jnp.float32),
+                jnp.concatenate(labels, axis=0))
+
+    def loss_from_hidden(self, h: Array, loss_mask: Array,
+                         label: Array) -> Array:
+        """Masked CE from trunk output (the loss head of ``__call__``); uses
+        the blockwise fused CE for tied embeddings so the fp32 [B, L, V]
+        logits never materialize."""
+        if self.cfg.share_input_output_embedding:
+            from bdm_db1_tpu.ops.fused_ce import masked_cross_entropy_fused
+
+            return masked_cross_entropy_fused(
+                h, self.word_embedding.embedding, label, loss_mask,
+                self.layout.total_vocab_size)
+        return masked_cross_entropy(self.logits(h), label, loss_mask,
+                                    self.layout.total_vocab_size)
+
     def __call__(
         self,
         batch: Dict[str, Any],
@@ -717,39 +771,17 @@ class TransformerXL(nn.Module):
         assert not (compute_loss and mems is not None), (
             "training does not use segment memory"
         )
-        embed_fns = {
-            "rl": self.embed_rl, "nlp": self.embed_nlp,
-            "ic": self.embed_ic, "vqa": self.embed_vqa,
-        }
-        embs, masks, labels = [], [], []
-        for name in MODALITY_ORDER:
-            if name not in batch or batch[name] is None:
-                continue
-            sub = batch[name]
-            embs.append(embed_fns[name](sub, deterministic))
-            if compute_loss:
-                masks.append(sub.loss_mask)
-                labels.append(jnp.maximum(sub.label, 0))
-
-        h = jnp.concatenate(embs, axis=0) if len(embs) > 1 else embs[0]
+        h, loss_mask, label = self.embed_concat(
+            batch, deterministic, with_targets=compute_loss)
         h, new_mems = self.trunk(h, mems, deterministic)
 
         if compute_loss and loss_only and self.cfg.share_input_output_embedding:
-            from bdm_db1_tpu.ops.fused_ce import masked_cross_entropy_fused
-
-            loss_mask = jnp.concatenate(masks, axis=0).astype(jnp.float32)
-            label = jnp.concatenate(labels, axis=0)
-            loss = masked_cross_entropy_fused(
-                h, self.word_embedding.embedding, label, loss_mask,
-                self.layout.total_vocab_size)
-            return None, loss
+            return None, self.loss_from_hidden(h, loss_mask, label)
 
         logits = self.logits(h)
 
         loss = None
         if compute_loss:
-            loss_mask = jnp.concatenate(masks, axis=0).astype(jnp.float32)
-            label = jnp.concatenate(labels, axis=0)
             loss = masked_cross_entropy(logits, label, loss_mask,
                                         self.layout.total_vocab_size)
         if mems is not None:

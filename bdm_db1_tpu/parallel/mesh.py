@@ -41,22 +41,37 @@ LOGICAL_AXIS_RULES: Tuple[Tuple[str, Optional[str]], ...] = (
 )
 
 
+def axis_rules(mesh: Mesh) -> Tuple[Tuple[str, Optional[str]], ...]:
+    """Logical rules for a mesh: on a pipelined mesh the stacked layer
+    axis shards across stages (parallel/pipeline.py); otherwise replicated."""
+    if "pipe" in mesh.axis_names:
+        return tuple(("layers", "pipe") if name == "layers" else (name, tgt)
+                     for name, tgt in LOGICAL_AXIS_RULES)
+    return LOGICAL_AXIS_RULES
+
+
 def make_mesh(cfg: MeshConfig, devices: Optional[Sequence] = None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     tp = max(1, cfg.model_parallel)
-    dp = cfg.data_parallel if cfg.data_parallel > 0 else n // tp
-    assert dp * tp == n, f"mesh {dp}x{tp} != {n} devices"
+    pp = max(1, cfg.pipeline_parallel)
+    dp = cfg.data_parallel if cfg.data_parallel > 0 else n // (tp * pp)
+    if pp > 1:
+        assert dp * pp * tp == n, f"mesh {dp}x{pp}x{tp} != {n} devices"
+        shape, names = (dp, pp, tp), ("data", "pipe", "model")
+    else:
+        assert dp * tp == n, f"mesh {dp}x{tp} != {n} devices"
+        shape, names = (dp, tp), cfg.axis_names
     try:
-        dev_array = mesh_utils.create_device_mesh((dp, tp), devices=devices)
+        dev_array = mesh_utils.create_device_mesh(shape, devices=devices)
     except Exception:  # non-TPU topologies (CPU tests)
-        dev_array = np.asarray(devices).reshape(dp, tp)
-    return Mesh(dev_array, cfg.axis_names)
+        dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, names)
 
 
 def logical_to_sharding(logical_spec, mesh: Mesh) -> NamedSharding:
     """Map a flax logical-axis tuple to a NamedSharding via the rules."""
-    rules = dict(LOGICAL_AXIS_RULES)
+    rules = dict(axis_rules(mesh))
     axes = tuple(
         rules.get(name) if name is not None else None for name in logical_spec
     )

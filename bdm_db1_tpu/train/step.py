@@ -26,7 +26,9 @@ from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from bdm_db1_tpu.core.config import OptimizerConfig
-from bdm_db1_tpu.parallel.mesh import LOGICAL_AXIS_RULES, batch_sharding
+from bdm_db1_tpu.parallel.mesh import (
+    LOGICAL_AXIS_RULES, axis_rules, batch_sharding,
+)
 from bdm_db1_tpu.train.schedule import lr_schedule, wd_schedule
 
 
@@ -91,12 +93,14 @@ def _ScheduledWeightDecay(wd_sched) -> optax.GradientTransformation:
 # ---------------------------------------------------------------------------
 
 
-def make_loss_fn(model) -> Callable:
+def make_loss_fn(model, rules=None) -> Callable:
+    rules = list(rules if rules is not None else LOGICAL_AXIS_RULES)
+
     def loss_fn(params, batch, rng):
         d_rng, p_rng = jax.random.split(rng)
         # logical-axis rules in scope so in-model sharding constraints
         # (e.g. Megatron-SP activation sharding) resolve to mesh axes
-        with nn.logical_axis_rules(list(LOGICAL_AXIS_RULES)):
+        with nn.logical_axis_rules(rules):
             _, loss = model.apply(
                 {"params": params}, batch, compute_loss=True,
                 deterministic=False, loss_only=True,
@@ -108,7 +112,8 @@ def make_loss_fn(model) -> Callable:
 
 
 def make_train_step(model, tx: optax.GradientTransformation,
-                    with_grad_norm: bool = False) -> Callable:
+                    with_grad_norm: bool = False,
+                    loss_fn: Optional[Callable] = None) -> Callable:
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
     ``batch`` leaves carry a leading [accum, ...] axis; the scan accumulates
@@ -117,7 +122,8 @@ def make_train_step(model, tx: optax.GradientTransformation,
     passes). grad_norm is off by default — optax's clip already computes it
     internally; a second ``global_norm`` is another full pass over 1.2B
     params."""
-    loss_fn = make_loss_fn(model)
+    if loss_fn is None:
+        loss_fn = make_loss_fn(model)
 
     def train_step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
         accum = jax.tree.leaves(batch)[0].shape[0]
@@ -173,23 +179,33 @@ def state_shardings(model, tx, rng, example_batch, mesh: Mesh):
     abstract = jax.eval_shape(
         partial(init_train_state, model, tx, rng), example_batch)
     logical = nn.get_partition_spec(abstract)
-    return nn.logical_to_mesh_sharding(logical, mesh, list(LOGICAL_AXIS_RULES))
+    return nn.logical_to_mesh_sharding(logical, mesh, list(axis_rules(mesh)))
 
 
-def make_sharded_train_step(model, tx, rng, example_batch, mesh: Mesh):
+def make_sharded_train_step(model, tx, rng, example_batch, mesh: Mesh,
+                            pipeline_microbatches: Optional[int] = None):
     """(init_fn, step_fn) jitted with parameter/batch shardings over the mesh.
 
     The example batch (and every later batch) carries [accum, micro, ...]
-    leaves; micro shards over the "data" axis."""
+    leaves; micro shards over the "data" axis. On a mesh with a "pipe" axis
+    the trunk runs the GPipe schedule (parallel/pipeline.py) with the micro
+    batch further split into ``pipeline_microbatches`` chunks (default
+    2 * stages, bubble fraction (S-1)/(n+S-1))."""
     shardings = state_shardings(model, tx, rng, example_batch, mesh)
     bspec = jax.tree.map(
         lambda _: NamedSharding(mesh, PartitionSpec(None, "data")),
         example_batch)
+    loss_fn = None
+    if "pipe" in mesh.axis_names and mesh.shape["pipe"] > 1:
+        from bdm_db1_tpu.parallel.pipeline import make_pipelined_loss_fn
+
+        n_micro = pipeline_microbatches or 2 * mesh.shape["pipe"]
+        loss_fn = make_pipelined_loss_fn(model, mesh, n_micro)
     init_fn = jax.jit(
         partial(init_train_state, model, tx, rng),
         out_shardings=shardings)
     step_fn = jax.jit(
-        make_train_step(model, tx),
+        make_train_step(model, tx, loss_fn=loss_fn),
         in_shardings=(shardings, bspec, None),
         out_shardings=(shardings, None),
         donate_argnums=(0,),
