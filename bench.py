@@ -258,14 +258,17 @@ def bench_train(args) -> None:
     state, m = step_fn(state, batch, key)  # compile
     float(m["loss"])
 
-    times = []
-    for _ in range(args.steps if not args.smoke else 3):
-        t0 = time.perf_counter()
+    # amortized steady-state timing: chain steps and block once at the end.
+    # A per-step host fetch pays the tunnel's ~30 ms RTT every step, which a
+    # real training loop (async logging) never does.
+    n_steps = args.steps if not args.smoke else 3
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
         state, m = step_fn(state, batch, key)
-        float(m["loss"])  # block
-        times.append(time.perf_counter() - t0)
+    jax.block_until_ready(m["loss"])
+    step_t = (time.perf_counter() - t0) / n_steps
     tokens_per_batch = accum * micro * n_dev * L
-    tps_chip = tokens_per_batch / float(np.median(times)) / n_dev
+    tps_chip = tokens_per_batch / step_t / n_dev
     # analytic MFU: fwd+bwd = 3x fwd matmul FLOPs (remat recompute is NOT
     # counted — model FLOPs, not hardware FLOPs), attention at the real
     # qlen/klen (training runs memory-less: trunk() klen == qlen)
