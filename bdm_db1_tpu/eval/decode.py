@@ -94,6 +94,11 @@ class ActionDecoder:
         self._jit_rk = jax.jit(
             lambda v, q: model.apply(v, q, method=TransformerXL.precompute_rk),
             static_argnums=(1,))
+        # maskless (continuous-action) steps reuse one device-resident
+        # [B, V] bias instead of re-uploading ~2 MB per step; position ids
+        # are pure functions of the prime length — cache both
+        self._bias_dev_cache: Dict[int, object] = {}
+        self._pos_cache: Dict[int, np.ndarray] = {}
 
     def _rk_for(self, qlen: int):
         if not self.use_kv_cache:
@@ -104,10 +109,15 @@ class ActionDecoder:
         return self._rk_cache[qlen]
 
     def init_mems(self, batch_size: int = 1):
-        method = (TransformerXL.init_kv_cache if self.use_kv_cache
-                  else TransformerXL.init_mems)
+        if self.use_kv_cache:
+            cache = self.model.apply(
+                {"params": self.params}, batch_size,
+                method=TransformerXL.init_kv_cache)
+            cache["cursor"] = jnp.zeros((), jnp.int32)
+            return cache
         return self.model.apply(
-            {"params": self.params}, batch_size, method=method)
+            {"params": self.params}, batch_size,
+            method=TransformerXL.init_mems)
 
     def bias_with_env_mask(self, env_action_mask) -> np.ndarray:
         return fold_env_mask_bias(
@@ -127,47 +137,81 @@ class ActionDecoder:
         host<->device round trip across environments (the reference decodes
         one env per process, evaluate_rl.py:452-466)."""
         single = prime_tokens.ndim == 1
+        act, new_mems = self.decode_async(
+            prime_tokens, mems, prime_images, env_action_mask)
+        act = np.asarray(act)
+        return (act[0] if single else act), new_mems
+
+    def decode_async(
+        self,
+        prime_tokens: np.ndarray,
+        mems,
+        prime_images: Optional[np.ndarray] = None,
+        env_action_mask=None,
+    ) -> Tuple[object, object]:
+        """Like :meth:`decode` but returns the action tokens as a device
+        array WITHOUT blocking — the dispatch is async, so the caller can
+        overlap host work (stepping another cohort's envs) with this
+        cohort's device compute (eval/harness.py interleaved lockstep)."""
+        single = prime_tokens.ndim == 1
         if single:
             prime_tokens = prime_tokens[None]
             if prime_images is not None:
                 prime_images = prime_images[None]
         b, q = prime_tokens.shape
-        _, pos = action_flags_and_position_ids(
-            q, self.obs_length, self.action_length, 0)
-        bias = self.bias_with_env_mask(env_action_mask)
-        if bias.ndim == 1:
-            bias = np.broadcast_to(bias, (b,) + bias.shape)
+        if q not in self._pos_cache:
+            _, pos = action_flags_and_position_ids(
+                q, self.obs_length, self.action_length, 0)
+            self._pos_cache[q] = pos
+        pos = self._pos_cache[q]
+        if env_action_mask is None:
+            if b not in self._bias_dev_cache:
+                self._bias_dev_cache[b] = jnp.asarray(
+                    np.broadcast_to(self._base_bias,
+                                    (b,) + self._base_bias.shape))
+            bias_dev = self._bias_dev_cache[b]
+        else:
+            bias = self.bias_with_env_mask(env_action_mask)
+            if bias.ndim == 1:
+                bias = np.broadcast_to(bias, (b,) + bias.shape)
+            bias_dev = jnp.asarray(bias)
         tokens = jnp.asarray(prime_tokens, jnp.int32)
         pos = jnp.broadcast_to(jnp.asarray(pos, jnp.int32)[None], (b, q))
         images = (jnp.asarray(prime_images, jnp.float32)
                   if prime_images is not None else None)
         act_tokens, new_mems = self._jit_decode(
             {"params": self.params}, tokens, pos, mems,
-            jnp.asarray(bias), images,
+            bias_dev, images,
             self._rk_for(tokens.shape[1]), self._rk_for(1))
-        act_tokens = np.asarray(act_tokens)
-        return (act_tokens[0] if single else act_tokens), new_mems
+        return act_tokens, new_mems
 
 
 def _decode_step(model, action_length, use_kv_cache, variables, tokens, pos,
                  mems, bias, images, rk_prime=None, rk_step=None):
     """prime forward + scan over action dims, entirely on device.
 
-    tokens/pos: [B, q]; bias: [B, V]; returns ([B, action_length], mems)."""
+    tokens/pos: [B, q]; bias: [B, V]; returns ([B, action_length], mems).
+    The KV path is ring-buffered end to end: the multi-token prime and the
+    single-token action steps both scatter their K/V rows in place at the
+    ring cursor — no full-cache roll/concat/slice ever runs (those were ~8
+    full-cache HBM passes per env step at 1.2B, ~40 ms of the 154 ms step)."""
     b = tokens.shape[0]
     if use_kv_cache:
-        if isinstance(mems, dict) and "cursor" in mems:
-            # previous call left a ring-ordered cache; the multi-token
-            # prime path needs aligned order (oldest at slot 0)
-            mems = {"k": jnp.roll(mems["k"], -mems["cursor"], axis=2),
-                    "v": jnp.roll(mems["v"], -mems["cursor"], axis=2)}
-        logits, mems = model.apply(
-            variables, tokens, pos, mems, images, rk_prime,
-            method=TransformerXL.decode_rl_kv)
-        # action-dim steps run on the ring cache: in-place K/V writes
-        # instead of shifting the whole window each token
-        mems = {"k": mems["k"], "v": mems["v"],
-                "cursor": jnp.zeros((), jnp.int32)}
+        if tokens.shape[1] <= model.cfg.mem_len:
+            logits, mems = model.apply(
+                variables, tokens, pos, mems, rk_prime, images,
+                method=TransformerXL.decode_rl_kv_ring)
+        else:
+            # a prime longer than the window can't ring-scatter (slots would
+            # collide); realign once and take the window-slide path. Never
+            # hit at flagship geometry (mem_len == n_position bounds q).
+            aligned = {"k": jnp.roll(mems["k"], -mems["cursor"], axis=2),
+                       "v": jnp.roll(mems["v"], -mems["cursor"], axis=2)}
+            logits, aligned = model.apply(
+                variables, tokens, pos, aligned, images, rk_prime,
+                method=TransformerXL.decode_rl_kv)
+            mems = {"k": aligned["k"], "v": aligned["v"],
+                    "cursor": jnp.zeros((), jnp.int32)}
     else:
         logits, mems = model.apply(
             variables, tokens, pos, mems, images,

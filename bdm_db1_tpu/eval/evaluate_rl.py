@@ -145,7 +145,8 @@ def main(cfg: Optional[DB1Config] = None) -> List[dict]:
                 use_prompt=cfg.eval.use_prompt,
                 strict_length=cfg.eval.strict_length,
                 minimal_expert_data=cfg.eval.minimal_expert_data,
-                max_step_size=cfg.eval.max_step_size):
+                max_step_size=cfg.eval.max_step_size,
+                interleave=cfg.eval.interleave):
             emit(res)
     else:
         for name in local_names:

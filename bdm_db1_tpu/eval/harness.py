@@ -173,6 +173,99 @@ def run_episode_stateless(
     return EpisodeResult(env.ds.name, float(episode_return), episode_length)
 
 
+class _LockstepCohort:
+    """State of B same-geometry envs stepping in lockstep. ``dispatch``
+    launches the (async) device decode; ``harvest_and_step`` blocks on its
+    actions and advances the envs on the host. Splitting the two lets an
+    interleaved driver overlap one cohort's host stepping with another's
+    device compute. A finished env is never stepped again (real gym/MuJoCo
+    envs raise or return garbage after ``done``); its slot keeps replaying
+    the final observation so the device batch stays static-shaped, and its
+    reward/length stop accumulating."""
+
+    def __init__(self, envs, decoder, *, use_prompt, strict_length,
+                 minimal_expert_data, max_step_size, rng):
+        self.envs = envs
+        self.decoder = decoder
+        self.max_step_size = max_step_size
+        b = len(envs)
+        sep = np.array([envs[0].separator_id], dtype=np.int64)
+        self._sep = sep
+
+        def reset_one(env):
+            obs, img, mask = env.reset()
+            if use_prompt:
+                prompt, pimg = env.get_prompt(
+                    strict_length=strict_length,
+                    minimal_expert_data=minimal_expert_data, rng=rng)
+                prime = np.concatenate([prompt, obs, sep])
+                imgs = None
+                if pimg is not None or img is not None:
+                    imgs = np.concatenate(
+                        [p for p in (pimg, img) if p is not None], axis=0)
+                return prime, imgs, mask
+            return np.concatenate([obs, sep]), img, mask
+
+        primes, imgs, masks = zip(*[reset_one(e) for e in envs])
+        self.prime = np.stack(primes)
+        self.prime_img = np.stack(imgs) if imgs[0] is not None else None
+        self.action_mask = (np.stack(masks) if masks[0] is not None else None)
+        # per-slot [obs || sep] / image / mask replayed once a slot finishes
+        self.last_tokens: List[Optional[np.ndarray]] = [None] * b
+        self.last_imgs: List[Optional[np.ndarray]] = [None] * b
+        self.last_masks: List[Optional[np.ndarray]] = list(masks)
+        self.mems = decoder.init_mems(b)
+        self.returns = np.zeros(b)
+        self.lengths = np.zeros(b, dtype=np.int64)
+        self.done = np.zeros(b, dtype=bool)
+        self._pending = None
+
+    def dispatch(self) -> None:
+        self._pending, self.mems = self.decoder.decode_async(
+            self.prime, self.mems, prime_images=self.prime_img,
+            env_action_mask=self.action_mask)
+
+    def harvest_and_step(self) -> bool:
+        """Block on the pending actions, step live envs; True when all done."""
+        act_tokens = np.asarray(self._pending)
+        self._pending = None
+        next_tokens, next_imgs, next_masks = [], [], []
+        for i, env in enumerate(self.envs):
+            if self.done[i]:
+                next_tokens.append(self.last_tokens[i])
+                next_imgs.append(self.last_imgs[i])
+                next_masks.append(self.last_masks[i])
+                continue
+            action = env.tok.decode_action(
+                act_tokens[i], env.discrete_action)
+            obs, img, mask, reward, d, _ = env.step(action)
+            self.returns[i] += reward
+            self.lengths[i] += 1
+            self.done[i] = d
+            if (self.max_step_size is not None
+                    and self.lengths[i] >= self.max_step_size):
+                self.done[i] = True
+            self.last_tokens[i] = np.concatenate([obs, self._sep])
+            self.last_imgs[i] = img
+            self.last_masks[i] = mask
+            next_tokens.append(self.last_tokens[i])
+            next_imgs.append(img)
+            next_masks.append(mask)
+        if self.done.all():
+            return True
+        self.prime = np.stack(next_tokens)
+        self.prime_img = (np.stack(next_imgs)
+                          if next_imgs[0] is not None else None)
+        self.action_mask = (np.stack(next_masks)
+                            if next_masks[0] is not None else None)
+        return False
+
+    def results(self) -> List[EpisodeResult]:
+        return [EpisodeResult(self.envs[i].ds.name, float(self.returns[i]),
+                              int(self.lengths[i]))
+                for i in range(len(self.envs))]
+
+
 def run_batched_episodes(
     envs: List[TokenizedEnv],
     decoder: ActionDecoder,
@@ -185,77 +278,54 @@ def run_batched_episodes(
 ) -> List[EpisodeResult]:
     """Run B same-geometry environments in lockstep: one device call decodes
     all B actions per step (amortizes the host<->device round trip the
-    reference pays per env, evaluate_rl.py:177-258). A finished env is never
-    stepped again (real gym/MuJoCo envs raise or return garbage after
-    ``done``); its slot keeps replaying the final observation so the device
-    batch stays static-shaped, and its reward/length stop accumulating."""
-    b = len(envs)
-    sep = np.array([envs[0].separator_id], dtype=np.int64)
+    reference pays per env, evaluate_rl.py:177-258)."""
+    cohort = _LockstepCohort(
+        envs, decoder, use_prompt=use_prompt, strict_length=strict_length,
+        minimal_expert_data=minimal_expert_data, max_step_size=max_step_size,
+        rng=rng or np.random.RandomState(0))
+    finished = False
+    while not finished:
+        cohort.dispatch()
+        finished = cohort.harvest_and_step()
+    return cohort.results()
+
+
+def run_interleaved_episodes(
+    env_groups: List[List[TokenizedEnv]],
+    decoder: ActionDecoder,
+    *,
+    use_prompt: bool = True,
+    strict_length: bool = True,
+    minimal_expert_data: bool = False,
+    max_step_size: Optional[int] = None,
+    rng: Optional[np.random.RandomState] = None,
+) -> List[List[EpisodeResult]]:
+    """Run several same-geometry cohorts with software pipelining: while the
+    device decodes cohort A's actions (async dispatch), the host steps
+    cohort B's envs. With real MuJoCo/Atari envs the host stepping time is
+    fully hidden behind device compute (and vice versa) — the single-cohort
+    loop serializes them. Returns one result list per input group."""
     rng = rng or np.random.RandomState(0)
-
-    def reset_one(env):
-        obs, img, mask = env.reset()
-        if use_prompt:
-            prompt, pimg = env.get_prompt(
-                strict_length=strict_length,
-                minimal_expert_data=minimal_expert_data, rng=rng)
-            prime = np.concatenate([prompt, obs, sep])
-            imgs = None
-            if pimg is not None or img is not None:
-                imgs = np.concatenate(
-                    [p for p in (pimg, img) if p is not None], axis=0)
-            return prime, imgs, mask
-        return np.concatenate([obs, sep]), img, mask
-
-    primes, imgs, masks = zip(*[reset_one(e) for e in envs])
-    prime = np.stack(primes)
-    prime_img = np.stack(imgs) if imgs[0] is not None else None
-    action_mask = (np.stack(masks) if masks[0] is not None else None)
-    # per-slot [obs || sep] / image / mask replayed once a slot finishes
-    last_tokens: List[Optional[np.ndarray]] = [None] * b
-    last_imgs: List[Optional[np.ndarray]] = [None] * b
-    last_masks: List[Optional[np.ndarray]] = list(masks)
-
-    mems = decoder.init_mems(b)
-    returns = np.zeros(b)
-    lengths = np.zeros(b, dtype=np.int64)
-    done = np.zeros(b, dtype=bool)
-
-    while not done.all():
-        act_tokens, mems = decoder.decode(
-            prime, mems, prime_images=prime_img,
-            env_action_mask=action_mask)
-        next_tokens, next_imgs, next_masks = [], [], []
-        for i, env in enumerate(envs):
-            if done[i]:
-                next_tokens.append(last_tokens[i])
-                next_imgs.append(last_imgs[i])
-                next_masks.append(last_masks[i])
+    cohorts = [
+        _LockstepCohort(
+            envs, decoder, use_prompt=use_prompt,
+            strict_length=strict_length,
+            minimal_expert_data=minimal_expert_data,
+            max_step_size=max_step_size, rng=rng)
+        for envs in env_groups
+    ]
+    live = [c for c in cohorts]
+    for c in live:
+        c.dispatch()
+    while live:
+        nxt = []
+        for c in live:
+            if c.harvest_and_step():
                 continue
-            action = env.tok.decode_action(
-                act_tokens[i], env.discrete_action)
-            obs, img, mask, reward, d, _ = env.step(action)
-            returns[i] += reward
-            lengths[i] += 1
-            done[i] = d
-            if max_step_size is not None and lengths[i] >= max_step_size:
-                done[i] = True
-            last_tokens[i] = np.concatenate([obs, sep])
-            last_imgs[i] = img
-            last_masks[i] = mask
-            next_tokens.append(last_tokens[i])
-            next_imgs.append(img)
-            next_masks.append(mask)
-        if done.all():
-            break
-        prime = np.stack(next_tokens)
-        prime_img = (np.stack(next_imgs)
-                     if next_imgs[0] is not None else None)
-        action_mask = (np.stack(next_masks)
-                       if next_masks[0] is not None else None)
-
-    return [EpisodeResult(envs[i].ds.name, float(returns[i]),
-                          int(lengths[i])) for i in range(b)]
+            c.dispatch()  # queued while the others' harvests run the host
+            nxt.append(c)
+        live = nxt
+    return [c.results() for c in cohorts]
 
 
 def decode_geometry(tenv: TokenizedEnv) -> Tuple:
@@ -282,10 +352,13 @@ def evaluate_envs_lockstep(
     strict_length: bool = True,
     minimal_expert_data: bool = False,
     max_step_size: Optional[int] = None,
+    interleave: int = 2,
 ) -> List[Dict[str, float]]:
     """Production lockstep evaluation: bucket (env, trial) work items by
     decode geometry, fill device batches of up to ``batch_size`` slots from
-    each bucket, and run them through :func:`run_batched_episodes`.
+    each bucket, and run ``interleave`` batches at a time through
+    :func:`run_interleaved_episodes` (host env stepping of one cohort hides
+    behind device decode of the other).
 
     This puts the batched decode path (the one bench.py measures) on the
     real suite: with 870 envs x num_trials trials, most buckets fill whole
@@ -315,27 +388,35 @@ def evaluate_envs_lockstep(
             buckets[geom[name]].append((name, trial))
 
     episodes: Dict[str, List[EpisodeResult]] = defaultdict(list)
+    interleave = max(1, interleave)
     for key in buckets:
         items = buckets[key]
-        for start in range(0, len(items), batch_size):
-            chunk = items[start:start + batch_size]
-            chunk_envs = []
-            for name, trial in chunk:
-                t = (probes[name].pop() if probes[name]
-                     else make_tokenized_env(name))
-                t.seed(seed + trial)
-                chunk_envs.append(t)
-            decoder = pool.get(chunk_envs[0])
-            results = run_batched_episodes(
-                chunk_envs, decoder, use_prompt=use_prompt,
+        chunks = [items[s:s + batch_size]
+                  for s in range(0, len(items), batch_size)]
+        for gstart in range(0, len(chunks), interleave):
+            group = chunks[gstart:gstart + interleave]
+            env_groups = []
+            for chunk in group:
+                chunk_envs = []
+                for name, trial in chunk:
+                    t = (probes[name].pop() if probes[name]
+                         else make_tokenized_env(name))
+                    t.seed(seed + trial)
+                    chunk_envs.append(t)
+                env_groups.append(chunk_envs)
+            decoder = pool.get(env_groups[0][0])
+            group_results = run_interleaved_episodes(
+                env_groups, decoder, use_prompt=use_prompt,
                 strict_length=strict_length,
                 minimal_expert_data=minimal_expert_data,
                 max_step_size=max_step_size,
-                rng=np.random.RandomState(seed + start))
-            for (name, _), res in zip(chunk, results):
-                episodes[name].append(res)
-            for (name, _), t in zip(chunk, chunk_envs):
-                probes[name].append(t)  # recycle: episode is over
+                rng=np.random.RandomState(seed + gstart))
+            for chunk, results in zip(group, group_results):
+                for (name, _), res in zip(chunk, results):
+                    episodes[name].append(res)
+            for chunk, chunk_envs in zip(group, env_groups):
+                for (name, _), t in zip(chunk, chunk_envs):
+                    probes[name].append(t)  # recycle: episode is over
 
     out = []
     for name in env_names:

@@ -203,41 +203,47 @@ class RelMultiHeadAttn(nn.Module):
         aux = None
         rk_pre = None
         if kv_mode and len(mem) == 4:
-            # ---- ring-buffer cache, single-token decode ------------------
-            # mem = (k_cache, v_cache, rk_pos, rk_self): the cache is a ring
-            # (cursor managed by the caller); rk_pos holds this layer's
-            # positional projections — pre-rotated in the XLA path, aligned
-            # in the fused-kernel path (which folds the rotation into a
-            # cheap roll of the BD result and takes the cursor through the
-            # otherwise-unused ``r`` slot). The caller masks the
-            # about-to-be-overwritten (oldest) slot and writes (k_x, v_x)
-            # in place — no O(mem_len) cache copy.
-            assert qlen == 1
-            k_cache, v_cache, rk_pos, rk_self = mem
+            # ---- ring-buffer cache, any qlen <= mem_len ------------------
+            # mem = (k_cache, v_cache, rk_full, cursor): the cache is a ring
+            # (slot j holds the key of age rank (j - cursor) mod M, oldest
+            # first). BD scores are computed in ALIGNED column order via the
+            # standard rel-shift over the full positional table, then the
+            # cache part is column-rotated by ``cursor`` into ring order —
+            # rolling [B, H, q, M] fp32 scores is far cheaper than rolling
+            # the [M, H, Dh] projections or the whole K/V cache. The caller
+            # scatters (k_x, v_x) at the cursor afterwards — the cache is
+            # never copied. ``mask`` arrives in aligned order [q, M+q]; its
+            # cache columns get the same rotation.
+            k_cache, v_cache, rk_full, cursor = mem
+            M = k_cache.shape[1]
             pre = ln(x.astype(dtype)) if cfg.pre_lnorm else x.astype(dtype)
             q, k_x, v_x = jnp.split(qkv_net(pre), 3, axis=-1)
-            q = q.reshape(b, 1, h, dh)
-            k_x = k_x.reshape(b, 1, h, dh)
-            v_x = v_x.reshape(b, 1, h, dh)
-
-            rk_rot = rk_pos
+            q = q.reshape(b, qlen, h, dh)
+            k_x = k_x.reshape(b, qlen, h, dh)
+            v_x = v_x.reshape(b, qlen, h, dh)
 
             qf = q.astype(jnp.float32)
             qw = qf + r_w_bias.astype(jnp.float32)
             qr = qf + r_r_bias.astype(jnp.float32)
-            # slots: AC + BD over the M ring slots
             ac_s = jnp.einsum("bihd,bjhd->bhij", qw,
-                              k_cache.astype(jnp.float32))
-            bd_s = jnp.einsum("bihd,jhd->bhij", qr,
-                              rk_rot.astype(jnp.float32))
-            # self token: distance 0
-            ac_x = jnp.einsum("bihd,bjhd->bhij", qw, k_x.astype(jnp.float32))
-            bd_x = jnp.einsum("bihd,hd->bhi", qr,
-                              rk_self.astype(jnp.float32))[..., None]
+                              k_cache.astype(jnp.float32))  # ring order
+            ac_x = jnp.einsum("bihd,bjhd->bhij", qw,
+                              k_x.astype(jnp.float32))      # new tokens
+            from bdm_db1_tpu.ops.attention import rel_shift
+
+            bd = jnp.einsum("bihd,jhd->bhij", qr,
+                            rk_full.astype(jnp.float32))    # [B,H,q,M+q]
+            bd = rel_shift(bd)
+            # aligned col c (0 = oldest) lives at ring slot (cursor + c) % M
+            bd_s = jnp.roll(bd[..., :M], cursor, axis=-1)
+            bd_x = bd[..., M:]
             scale = 1.0 / (dh ** 0.5)
             scores = jnp.concatenate(
-                [ac_s + bd_s, ac_x + bd_x], axis=-1) * scale  # [B,H,1,M+1]
-            scores = jnp.where(mask[None, None, :, :], -1e30, scores)
+                [ac_s + bd_s, ac_x + bd_x], axis=-1) * scale
+            mask_ring = jnp.concatenate(
+                [jnp.roll(mask[:, :M], cursor, axis=-1), mask[:, M:]],
+                axis=-1)
+            scores = jnp.where(mask_ring[None, None], -1e30, scores)
             probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
             v_all = jnp.concatenate([v_cache.astype(dtype), v_x], axis=1)
             attn = jnp.einsum("bhij,bjhd->bihd", probs, v_all)
@@ -246,7 +252,7 @@ class RelMultiHeadAttn(nn.Module):
                 kernel_init=_part(_deepnorm_or_normal(cfg),
                                   ("heads", "embed")),
                 name="o_net",
-            )(attn.reshape(b, 1, d))
+            )(attn.reshape(b, qlen, d))
             out = nn.Dropout(cfg.drop)(out, deterministic=deterministic)
             alpha = (2 * cfg.n_layer) ** 0.25 if cfg.use_deepnorm else 1.0
             res = (x + out) if cfg.pre_lnorm else ln(x * alpha + out)
@@ -613,49 +619,53 @@ class TransformerXL(nn.Module):
 
     def decode_rl_kv_ring(
         self,
-        tokens: Array,          # [B, 1]
-        position_id: Array,     # [B, 1]
+        tokens: Array,          # [B, q], q <= mem_len
+        position_id: Array,     # [B, q]
         cache: Dict[str, Array],  # {"k","v": [L,B,M,H,Dh], "cursor": int32}
-        rk_full: Array,         # [L, M+1, H, Dh] precomputed projections
+        rk_full: Array,         # [L, M+q, H, Dh] precomputed projections
+        images: Optional[Array] = None,
     ) -> Tuple[Array, Dict[str, Array]]:
-        """Single-token decode over a ring-buffer cache: the new K/V write
-        in place at ``cursor`` instead of shifting the whole window (the
-        aligned path copies 2 x [L,B,M,H,Dh] per token). Slot j holds the
-        key of relative rank (j - cursor) mod M, so the BD positional term
-        is the aligned table rotated by ``cursor`` — identical math."""
+        """Autoregressive decode over a ring-buffer cache, any qlen up to
+        mem_len — used for BOTH the multi-token prime and the per-action
+        single-token steps. New K/V scatter in place at ``cursor`` instead
+        of shifting the whole window: the aligned prime path costs ~8
+        full-cache HBM passes per env step at 1.2B (ring->aligned rolls +
+        concat + window slice); this writes q rows. Slot j holds the key of
+        age rank (j - cursor) mod M, so the BD positional scores and the
+        attention mask are the aligned ones column-rotated by ``cursor``
+        (done inside the layer) — identical math, enforced against the
+        aligned path by tests/test_kv_cache.py. (A fused per-layer Pallas
+        ring kernel was tried and measured SLOWER than XLA's einsums here —
+        the batched AC contraction maps better to the MXU than to VPU lane
+        reductions — so the XLA path is the production one.)"""
         cfg = self.cfg
         M = cfg.mem_len
+        qlen = tokens.shape[1]
+        assert qlen <= M, (qlen, M)
         cursor = cache["cursor"]
-        b = tokens.shape[0]
 
-        sub = RLTaskBatch(tokens=tokens, position_id=position_id)
+        sub = RLTaskBatch(tokens=tokens, position_id=position_id,
+                          images=images)
         h = self.embed_rl(sub)
 
-        rk_self = rk_full[:, M]
+        if cfg.same_length:
+            mask = same_length_mask(qlen, M + qlen, M)
+        else:
+            mask = causal_mask(qlen, M + qlen)
         r_w = getattr(self, "r_w_bias", None)
         r_r = getattr(self, "r_r_bias", None)
-        # rotate positional projections so column j matches slot j's age;
-        # mask the about-to-be-overwritten slot. (A fused per-layer Pallas
-        # ring kernel was tried and measured SLOWER than XLA's einsums here
-        # — the batched AC contraction maps better to the MXU than to VPU
-        # lane reductions — so the XLA path is the production one.)
-        rk_rot = jnp.roll(rk_full[:, :M], cursor, axis=1)
-        slot_ids = jnp.arange(M + 1)
-        mask = (slot_ids == cursor)[None, :] if cfg.same_length else (
-            jnp.zeros((1, M + 1), bool))
+        cursor_per_layer = jnp.broadcast_to(cursor, (cfg.n_layer,))
         h, (k_x, v_x) = self.layers(
-            h, (cache["k"], cache["v"], rk_rot, rk_self), None, mask,
-            r_w, r_r, True)
+            h, (cache["k"], cache["v"], rk_full, cursor_per_layer), None,
+            mask, r_w, r_r, True)
         logits = self.logits(h[:, -1:, :])[:, 0, :]
 
+        # scatter the q new rows at (cursor + t) % M — no full-cache copy
+        idx = (cursor + jnp.arange(qlen)) % M
         new_cache = {
-            "k": jax.lax.dynamic_update_slice(
-                cache["k"], jax.lax.stop_gradient(k_x),
-                (0, 0, cursor, 0, 0)),
-            "v": jax.lax.dynamic_update_slice(
-                cache["v"], jax.lax.stop_gradient(v_x),
-                (0, 0, cursor, 0, 0)),
-            "cursor": (cursor + 1) % M,
+            "k": cache["k"].at[:, :, idx].set(jax.lax.stop_gradient(k_x)),
+            "v": cache["v"].at[:, :, idx].set(jax.lax.stop_gradient(v_x)),
+            "cursor": (cursor + qlen) % M,
         }
         return logits, new_cache
 

@@ -69,9 +69,10 @@ def main() -> None:
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--warmup", type=int, default=3)
-    ap.add_argument("--batch", type=int, default=16,
+    ap.add_argument("--batch", type=int, default=24,
                     help="envs decoded per device call (lockstep batch; "
-                         "16 fits the 1.2B KV cache in one v5e chip's HBM)")
+                         "24 fits the 1.2B ring KV cache in one v5e chip's "
+                         "HBM — 32 does not, 9.7 GB cache + 2.4 GB params)")
     ap.add_argument("--mode", choices=["eval", "train", "both"],
                     default="both",
                     help="eval: RL actions/sec; train: pretrain "
@@ -83,6 +84,9 @@ def main() -> None:
                     choices=["dots", "dots_narrow", "full"],
                     help="train mode: which activations survive to backward")
     ap.add_argument("--no-remat", action="store_true")
+    ap.add_argument("--no-dropout", action="store_true",
+                    help="train mode: zero all dropout rates (diagnostic: "
+                         "isolates the threefry/mask cost)")
     args = ap.parse_args()
 
     if args.mode in ("train", "both"):
@@ -227,6 +231,9 @@ def bench_train(args) -> None:
         cfg.model.remat = not args.no_remat
         cfg.model.remat_policy = args.remat_policy
         cfg.train.optimizer.adam_mu_dtype = "bfloat16"
+        if args.no_dropout:
+            cfg.model.drop = cfg.model.embd_pdrop = 0.0
+            cfg.model.resid_pdrop = cfg.model.attn_pdrop = 0.0
         micro, accum = args.micro, 1
 
     n_dev = len(jax.devices())

@@ -145,3 +145,56 @@ def test_evaluate_envs_lockstep_multi_geometry():
     assert all(np.isfinite(r["return_mean"]) for r in results)
     assert results[0]["length_mean"] == 3.0
     assert results[2]["length_mean"] == 4.0
+
+
+def test_interleaved_matches_sequential():
+    """Two cohorts pipelined (host stepping overlapped with the other
+    cohort's device decode) must produce exactly the results of running
+    each cohort alone."""
+    from bdm_db1_tpu.eval.harness import run_interleaved_episodes
+
+    cfg, model, params, tenvs = _setup(
+        FakeContinuousEnv, 6, obs_dim=4, act_dim=2, episode_len=5)
+    decoder = build_decoder_for_env(model, params, tenvs[0])
+    groups = [tenvs[:3], tenvs[3:]]
+    inter = run_interleaved_episodes(
+        groups, decoder, rng=np.random.RandomState(0))
+
+    # fresh env instances so rng/env state restarts identically
+    cfg, model2, params2, tenvs2 = _setup(
+        FakeContinuousEnv, 6, obs_dim=4, act_dim=2, episode_len=5)
+    decoder2 = build_decoder_for_env(model, params, tenvs2[0])
+    seq = [run_batched_episodes(tenvs2[:3], decoder2,
+                                rng=np.random.RandomState(0)),
+           run_batched_episodes(tenvs2[3:], decoder2,
+                                rng=np.random.RandomState(0))]
+    # prompts draw from a shared rng in the interleaved path; compare the
+    # env-driven outcomes (greedy decode from the same model + same env
+    # seeds): lengths must match exactly and returns be finite
+    for a, b in zip(inter, seq):
+        assert [r.episode_length for r in a] == [r.episode_length for r in b]
+        assert all(np.isfinite(r.episode_return) for r in a)
+
+
+def test_lockstep_interleave_param():
+    """evaluate_envs_lockstep with interleave=2 returns the same per-env
+    record schema and trial counts as interleave=1."""
+    from bdm_db1_tpu.eval.harness import evaluate_envs_lockstep
+
+    cfg, model, params, tenvs = _setup(
+        FakeContinuousEnv, 1, obs_dim=4, act_dim=2, episode_len=4)
+    ds = tenvs[0].ds
+
+    def make(name):
+        env = FakeContinuousEnv(seed=hash(name) % 100, obs_dim=4, act_dim=2,
+                                episode_len=4)
+        return TokenizedEnv(env, ds)
+
+    names = [f"fake-{i}" for i in range(4)]
+    for il in (1, 2):
+        out = evaluate_envs_lockstep(
+            model, params, names, make, num_trials=2, batch_size=2,
+            seed=0, interleave=il)
+        assert len(out) == 4
+        assert all(o["num_trials"] == 2 for o in out)
+        assert all(np.isfinite(o["return_mean"]) for o in out)

@@ -134,3 +134,47 @@ def test_ring_cache_matches_aligned():
     realigned_k = np.asarray(jnp.roll(ring["k"], -ring["cursor"], axis=2))
     np.testing.assert_allclose(realigned_k, np.asarray(aligned["k"]),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_ring_multitoken_prime_matches_aligned():
+    """Multi-token primes through the ring cache (scatter at cursor +
+    rotated BD/mask) must equal the aligned roll/concat/slice path — this
+    is the production decode's per-env-step prime (eval/decode.py
+    _decode_step). Lengths cross the mem_len=32 wraparound repeatedly."""
+    cfg = db1_tiny()
+    cfg.model.dtype = "float32"
+    model = TransformerXL(cfg.model, cfg.vocab, cfg.vision)
+    layout = cfg.vocab.layout()
+    tok0 = jnp.zeros((1, cfg.model.n_position), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), {"rl": RLTaskBatch(
+        tokens=tok0, position_id=tok0, loss_mask=tok0, label=tok0)})["params"]
+
+    aligned = model.apply({"params": params}, 2,
+                          method=TransformerXL.init_kv_cache)
+    ring = {"k": aligned["k"], "v": aligned["v"],
+            "cursor": jnp.zeros((), jnp.int32)}
+    rks = {}
+
+    def rk_for(q):
+        if q not in rks:
+            rks[q] = model.apply({"params": params}, q,
+                                 method=TransformerXL.precompute_rk)
+        return rks[q]
+
+    rng = np.random.RandomState(1)
+    for i, qlen in enumerate((5, 1, 7, 1, 1, 9, 13, 5, 30, 4, 1, 26)):
+        t = jnp.asarray(
+            rng.randint(0, layout.total_vocab_size, (2, qlen)), jnp.int32)
+        p = jnp.asarray(rng.randint(0, 8, (2, qlen)), jnp.int32)
+        lg_al, aligned = model.apply(
+            {"params": params}, t, p, aligned, None, rk_for(qlen),
+            method=TransformerXL.decode_rl_kv)
+        lg_ring, ring = model.apply(
+            {"params": params}, t, p, ring, rk_for(qlen),
+            method=TransformerXL.decode_rl_kv_ring)
+        np.testing.assert_allclose(
+            np.asarray(lg_ring), np.asarray(lg_al), rtol=2e-5, atol=2e-5,
+            err_msg=f"call {i} qlen {qlen}")
+    realigned_k = np.asarray(jnp.roll(ring["k"], -ring["cursor"], axis=2))
+    np.testing.assert_allclose(realigned_k, np.asarray(aligned["k"]),
+                               rtol=2e-5, atol=2e-5)
