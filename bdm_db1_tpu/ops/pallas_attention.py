@@ -75,6 +75,11 @@ def _rel_attention_kernel(
     band_rows = bq + block_k
     row_ids = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 0)
     num_kb = klen // block_k
+    # band-limited j range: fully-masked key blocks contribute exactly zero
+    # (p underflows to 0), so skip them — at q1024/k2048/window-1024 this is
+    # 25% of the tiles, more for short decode primes
+    j_lo, j_hi = _tile_j_bounds(iq, bq, block_k, num_kb, qlen, klen,
+                                mem_len, same_length)
 
     def body(jb, carry):
         m_prev, l_prev, acc = carry
@@ -130,11 +135,47 @@ def _rel_attention_kernel(
     m0 = jnp.full((bq,), NEG_INF, jnp.float32)
     l0 = jnp.zeros((bq,), jnp.float32)
     acc0 = jnp.zeros((bq, d), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
+    m, l, acc = jax.lax.fori_loop(j_lo, j_hi, body, (m0, l0, acc0))
     o_ref[:] = (acc / jnp.maximum(l, 1e-30)[:, None]).astype(o_ref.dtype)
     if m_ref is not None:
         m_ref[0, :] = m
         l_ref[0, :] = l
+
+
+def _window_shift(qlen, klen, mem_len):
+    mask_len = klen - mem_len
+    return qlen - mask_len if mask_len > 0 else qlen
+
+
+def _tile_j_bounds(iq, bq, block_k, num_kb, qlen, klen, mem_len,
+                   same_length):
+    """[j_lo, j_hi) range of key blocks with any unmasked entry for query
+    block iq (iq may be traced). Causality: col <= row + mlen; same_length
+    window: col >= row - (shift - 1)."""
+    mlen = klen - qlen
+    j_hi = jnp.minimum(num_kb, (iq * bq + bq - 1 + mlen) // block_k + 1)
+    if same_length:
+        shift = _window_shift(qlen, klen, mem_len)
+        j_lo = jnp.maximum(0, (iq * bq - (shift - 1)) // block_k)
+    else:
+        j_lo = jnp.zeros_like(j_hi)
+    return j_lo, j_hi
+
+
+def _tile_i_bounds(jb, bq, block_k, num_qb, qlen, klen, mem_len,
+                   same_length):
+    """[i_lo, i_hi) range of query blocks with any unmasked entry for key
+    block jb: row >= col - mlen (causality) and, for same_length,
+    row <= col + shift - 1."""
+    mlen = klen - qlen
+    i_lo = jnp.maximum(0, (jb * block_k - mlen) // bq)
+    if same_length:
+        shift = _window_shift(qlen, klen, mem_len)
+        i_hi = jnp.minimum(
+            num_qb, (jb * block_k + block_k - 1 + (shift - 1)) // bq + 1)
+    else:
+        i_hi = jnp.full_like(i_lo, num_qb)
+    return i_lo, i_hi
 
 
 def _tile_scores(q, k_blk, rk_band, rw, rr, *, iq, jb, bq, block_k, qlen,
@@ -216,6 +257,8 @@ def _rel_attention_bwd_dq_kernel(
     l = jnp.maximum(l_ref[0, :], 1e-30)
     delta = delta_ref[0, :]
     num_kb = klen // block_k
+    j_lo, j_hi = _tile_j_bounds(iq, bq, block_k, num_kb, qlen, klen,
+                                mem_len, same_length)
 
     def body(jb, carry):
         dq_ac, dq_bd = carry
@@ -248,7 +291,7 @@ def _rel_attention_bwd_dq_kernel(
         return dq_ac, dq_bd
 
     zero = jnp.zeros((bq, d), jnp.float32)
-    dq_ac, dq_bd = jax.lax.fori_loop(0, num_kb, body, (zero, zero))
+    dq_ac, dq_bd = jax.lax.fori_loop(j_lo, j_hi, body, (zero, zero))
     dq_ac_ref[:] = dq_ac.astype(dq_ac_ref.dtype)
     dq_bd_ref[:] = dq_bd.astype(dq_bd_ref.dtype)
 
@@ -268,6 +311,8 @@ def _rel_attention_bwd_dkv_kernel(
     k_blk = k_ref[:].astype(jnp.float32)   # this j-block only
     v_blk = v_ref[:].astype(jnp.float32)
     num_qb = qlen // bq
+    i_lo, i_hi = _tile_i_bounds(jb, bq, block_k, num_qb, qlen, klen,
+                                mem_len, same_length)
 
     drk_scratch[:] = jnp.zeros((part_rows, d), jnp.float32)
 
@@ -313,7 +358,7 @@ def _rel_attention_bwd_dkv_kernel(
         return dk, dv
 
     zero = jnp.zeros((block_k, d), jnp.float32)
-    dk, dv = jax.lax.fori_loop(0, num_qb, body, (zero, zero))
+    dk, dv = jax.lax.fori_loop(i_lo, i_hi, body, (zero, zero))
     dk_ref[:] = dk.astype(dk_ref.dtype)
     dv_ref[:] = dv.astype(dv_ref.dtype)
     drk_part_ref[:] = drk_scratch[:].astype(drk_part_ref.dtype)
