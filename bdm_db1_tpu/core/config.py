@@ -152,6 +152,10 @@ class TrainConfig:
     optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
     # loss in fp32; grads accumulated in fp32
     grad_accum_dtype: str = "float32"
+    # PRNG impl for the training rng (dropout masks): "rbg" uses the TPU
+    # hardware RngBitGenerator — threefry mask generation costs ~16% of the
+    # 1.2B train step. "threefry" for cross-platform bit-exactness.
+    prng_impl: str = "rbg"
 
 
 @dataclass

@@ -93,6 +93,17 @@ def _ScheduledWeightDecay(wd_sched) -> optax.GradientTransformation:
 # ---------------------------------------------------------------------------
 
 
+def make_train_rng(seed: int, impl: str = "rbg"):
+    """Training rng (feeds the dropout masks). "rbg" keys lower the bit
+    generation to the hardware RngBitGenerator — threefry mask generation
+    costs ~16% of the 1.2B train step on v5e (bench.py --no-dropout vs
+    default). Falls back to threefry if the impl is unavailable."""
+    try:
+        return jax.random.key(seed, impl=impl)
+    except Exception:
+        return jax.random.PRNGKey(seed)
+
+
 def make_loss_fn(model, rules=None) -> Callable:
     rules = list(rules if rules is not None else LOGICAL_AXIS_RULES)
 

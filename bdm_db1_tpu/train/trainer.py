@@ -26,6 +26,7 @@ from bdm_db1_tpu.data.input_specs import (
     VQATaskBatch,
 )
 from bdm_db1_tpu.train.checkpoint import CheckpointManager
+from bdm_db1_tpu.train.step import make_train_rng
 
 _BATCH_TYPES = {
     "rl": RLTaskBatch, "nlp": NLPTaskBatch, "ic": ICTaskBatch,
@@ -100,7 +101,7 @@ class Trainer:
     def _train_loop(self) -> None:
         tcfg = self.cfg.train
         iteration = self.maybe_resume()
-        rng = jax.random.PRNGKey(tcfg.seed)
+        rng = make_train_rng(tcfg.seed, tcfg.prng_impl)
         data_iter = iter(self.loader)
         tokens_per_batch = None
         t_window = time.perf_counter()

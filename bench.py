@@ -86,7 +86,12 @@ def main() -> None:
     ap.add_argument("--no-remat", action="store_true")
     ap.add_argument("--no-dropout", action="store_true",
                     help="train mode: zero all dropout rates (diagnostic: "
-                         "isolates the threefry/mask cost)")
+                         "isolates the rng/mask cost)")
+    ap.add_argument("--prng-impl", default="rbg",
+                    choices=["rbg", "unsafe_rbg", "threefry"],
+                    help="train mode: PRNG behind the dropout masks; rbg = "
+                         "hardware RngBitGenerator (threefry masks cost "
+                         "~16%% of the 1.2B step)")
     args = ap.parse_args()
 
     if args.mode in ("train", "both"):
@@ -261,7 +266,9 @@ def bench_train(args) -> None:
         model := TransformerXL(cfg.model, cfg.vocab, cfg.vision),
         tx, jax.random.PRNGKey(0), batch, mesh)
     state = init_fn(batch)
-    key = jax.random.PRNGKey(1)
+    from bdm_db1_tpu.train.step import make_train_rng
+
+    key = make_train_rng(1, args.prng_impl)
     state, m = step_fn(state, batch, key)  # compile
     float(m["loss"])
 

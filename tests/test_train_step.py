@@ -62,6 +62,27 @@ def test_single_device_train_step_loss_decreases():
     assert int(state.step) == 8
 
 
+def test_train_step_with_rbg_rng():
+    """The default training rng impl ("rbg" — TPU hardware RngBitGenerator,
+    ~16% of the 1.2B step vs threefry masks) must drive the train step on
+    every backend; make_train_rng falls back to threefry when unavailable."""
+    from bdm_db1_tpu.train.step import make_train_rng
+
+    cfg = db1_tiny()
+    cfg.model.dtype = "float32"
+    model = TransformerXL(cfg.model, cfg.vocab, cfg.vision)
+    layout = cfg.vocab.layout()
+    batch = _tiny_batch(layout)
+    tx = make_optimizer(OptimizerConfig(lr=1e-2), 100)
+    state = init_train_state(model, tx, jax.random.PRNGKey(0), batch)
+    step = jax.jit(make_train_step(model, tx))
+    state, m = step(state, batch, make_train_rng(1, "rbg"))
+    assert np.isfinite(float(m["loss"]))
+    # unknown impl -> threefry fallback, not a crash
+    state, m = step(state, batch, make_train_rng(1, "no-such-impl"))
+    assert np.isfinite(float(m["loss"]))
+
+
 @pytest.mark.parametrize("tp", [1, 2])
 def test_sharded_train_step_dp_tp(tp):
     cfg = db1_tiny()
