@@ -173,6 +173,42 @@ def run_episode_stateless(
     return EpisodeResult(env.ds.name, float(episode_return), episode_length)
 
 
+@dataclasses.dataclass
+class _SlotState:
+    """Reset-time state of one lockstep slot (env already reset, expert
+    prompt already sampled)."""
+    prime: np.ndarray                # [prompt || obs || sep] token ids
+    prime_img: Optional[np.ndarray]  # image rows for every -1 slot in prime
+    obs_img: Optional[np.ndarray]    # image rows of the reset obs only
+    mask: Optional[np.ndarray]       # env-supplied action mask
+
+
+def _reset_env_state(env, *, use_prompt, strict_length,
+                     minimal_expert_data, rng) -> _SlotState:
+    sep = np.array([env.separator_id], dtype=np.int64)
+    obs, img, mask = env.reset()
+    if use_prompt:
+        prompt, pimg = env.get_prompt(
+            strict_length=strict_length,
+            minimal_expert_data=minimal_expert_data, rng=rng)
+        prime = np.concatenate([prompt, obs, sep])
+        pi = None
+        if pimg is not None or img is not None:
+            pi = np.concatenate(
+                [p for p in (pimg, img) if p is not None], axis=0)
+        return _SlotState(prime, pi, img, mask)
+    return _SlotState(np.concatenate([obs, sep]), img, img, mask)
+
+
+def _cohort_key(st: _SlotState) -> Tuple:
+    """Everything that must agree for slots to share one device batch (and
+    therefore one compiled (b, qlen) decode program): the sampled prime
+    shape, the image-row layout, and the action-mask layout."""
+    return (st.prime.shape,
+            None if st.prime_img is None else st.prime_img.shape,
+            None if st.mask is None else st.mask.shape)
+
+
 class _LockstepCohort:
     """State of B same-geometry envs stepping in lockstep. ``dispatch``
     launches the (async) device decode; ``harvest_and_step`` blocks on its
@@ -181,43 +217,67 @@ class _LockstepCohort:
     device compute. A finished env is never stepped again (real gym/MuJoCo
     envs raise or return garbage after ``done``); its slot keeps replaying
     the final observation so the device batch stays static-shaped, and its
-    reward/length stop accumulating."""
+    reward/length stop accumulating.
 
-    def __init__(self, envs, decoder, *, use_prompt, strict_length,
-                 minimal_expert_data, max_step_size, rng):
+    ``pad_to`` replicates slot 0 (pre-finished, env never stepped, result
+    dropped) until the batch has that many slots, so a bucket's remainder
+    chunk reuses the full-batch compiled program instead of paying a fresh
+    10-15 min AOT compile for its odd batch size."""
+
+    def __init__(self, envs, decoder, *, states: Optional[
+                     List[_SlotState]] = None, use_prompt: bool = True,
+                 strict_length: bool = True,
+                 minimal_expert_data: bool = False,
+                 max_step_size: Optional[int] = None,
+                 rng: Optional[np.random.RandomState] = None,
+                 pad_to: Optional[int] = None):
+        if states is None:
+            rng = rng if rng is not None else np.random.RandomState(0)
+            states = [
+                _reset_env_state(
+                    e, use_prompt=use_prompt, strict_length=strict_length,
+                    minimal_expert_data=minimal_expert_data, rng=rng)
+                for e in envs
+            ]
+        keys = {_cohort_key(s) for s in states}
+        if len(keys) > 1:
+            raise ValueError(
+                "lockstep cohort is not homogeneous — prime/image/"
+                f"action-mask shapes differ across slots: {sorted(map(str, keys))}. "
+                "All slots of a batch share one compiled (b, qlen) decode "
+                "program. Group work items by sampled prime geometry "
+                "(evaluate_envs_lockstep does) or use strict_length=True "
+                "prompts so every sample has the same length.")
+        self.n_real = len(envs)
+        if pad_to is not None and pad_to > len(envs):
+            n_pad = pad_to - len(envs)
+            envs = list(envs) + [envs[0]] * n_pad
+            states = list(states) + [states[0]] * n_pad
         self.envs = envs
         self.decoder = decoder
         self.max_step_size = max_step_size
         b = len(envs)
-        sep = np.array([envs[0].separator_id], dtype=np.int64)
-        self._sep = sep
-
-        def reset_one(env):
-            obs, img, mask = env.reset()
-            if use_prompt:
-                prompt, pimg = env.get_prompt(
-                    strict_length=strict_length,
-                    minimal_expert_data=minimal_expert_data, rng=rng)
-                prime = np.concatenate([prompt, obs, sep])
-                imgs = None
-                if pimg is not None or img is not None:
-                    imgs = np.concatenate(
-                        [p for p in (pimg, img) if p is not None], axis=0)
-                return prime, imgs, mask
-            return np.concatenate([obs, sep]), img, mask
-
-        primes, imgs, masks = zip(*[reset_one(e) for e in envs])
-        self.prime = np.stack(primes)
-        self.prime_img = np.stack(imgs) if imgs[0] is not None else None
-        self.action_mask = (np.stack(masks) if masks[0] is not None else None)
-        # per-slot [obs || sep] / image / mask replayed once a slot finishes
-        self.last_tokens: List[Optional[np.ndarray]] = [None] * b
-        self.last_imgs: List[Optional[np.ndarray]] = [None] * b
-        self.last_masks: List[Optional[np.ndarray]] = list(masks)
+        self._sep = np.array([envs[0].separator_id], dtype=np.int64)
+        self.prime = np.stack([s.prime for s in states])
+        self.prime_img = (np.stack([s.prime_img for s in states])
+                          if states[0].prime_img is not None else None)
+        self.action_mask = (np.stack([s.mask for s in states])
+                            if states[0].mask is not None else None)
+        # per-slot [obs || sep] / image / mask replayed once a slot
+        # finishes; initialized from the reset state so pre-finished
+        # padding slots have a valid replay from the first harvest
+        obs_sep = envs[0].obs_length + 1
+        self.last_tokens: List[np.ndarray] = [
+            s.prime[-obs_sep:] for s in states]
+        self.last_imgs: List[Optional[np.ndarray]] = [
+            s.obs_img for s in states]
+        self.last_masks: List[Optional[np.ndarray]] = [
+            s.mask for s in states]
         self.mems = decoder.init_mems(b)
         self.returns = np.zeros(b)
         self.lengths = np.zeros(b, dtype=np.int64)
         self.done = np.zeros(b, dtype=bool)
+        self.done[self.n_real:] = True  # padding slots never step
         self._pending = None
 
     def dispatch(self) -> None:
@@ -263,7 +323,7 @@ class _LockstepCohort:
     def results(self) -> List[EpisodeResult]:
         return [EpisodeResult(self.envs[i].ds.name, float(self.returns[i]),
                               int(self.lengths[i]))
-                for i in range(len(self.envs))]
+                for i in range(self.n_real)]  # padding slots dropped
 
 
 def run_batched_episodes(
@@ -299,20 +359,28 @@ def run_interleaved_episodes(
     minimal_expert_data: bool = False,
     max_step_size: Optional[int] = None,
     rng: Optional[np.random.RandomState] = None,
+    states_groups: Optional[List[List[_SlotState]]] = None,
+    pad_to: Optional[int] = None,
 ) -> List[List[EpisodeResult]]:
     """Run several same-geometry cohorts with software pipelining: while the
     device decodes cohort A's actions (async dispatch), the host steps
     cohort B's envs. With real MuJoCo/Atari envs the host stepping time is
     fully hidden behind device compute (and vice versa) — the single-cohort
-    loop serializes them. Returns one result list per input group."""
+    loop serializes them. Returns one result list per input group.
+
+    ``states_groups`` supplies pre-reset slot states (envs already reset,
+    prompts sampled) so callers can group by sampled prime geometry first;
+    ``pad_to`` pads each cohort to a fixed batch size (see _LockstepCohort)."""
     rng = rng or np.random.RandomState(0)
     cohorts = [
         _LockstepCohort(
-            envs, decoder, use_prompt=use_prompt,
+            envs, decoder,
+            states=states_groups[i] if states_groups is not None else None,
+            use_prompt=use_prompt,
             strict_length=strict_length,
             minimal_expert_data=minimal_expert_data,
-            max_step_size=max_step_size, rng=rng)
-        for envs in env_groups
+            max_step_size=max_step_size, rng=rng, pad_to=pad_to)
+        for i, envs in enumerate(env_groups)
     ]
     live = [c for c in cohorts]
     for c in live:
@@ -353,12 +421,19 @@ def evaluate_envs_lockstep(
     minimal_expert_data: bool = False,
     max_step_size: Optional[int] = None,
     interleave: int = 2,
+    pad_cohorts: bool = True,
 ) -> List[Dict[str, float]]:
     """Production lockstep evaluation: bucket (env, trial) work items by
-    decode geometry, fill device batches of up to ``batch_size`` slots from
-    each bucket, and run ``interleave`` batches at a time through
+    decode geometry, reset + sample prompts a wave at a time, sub-group the
+    wave by the *sampled* prime geometry (prompt lengths can differ with
+    strict_length=False, and image/mask layouts are not part of the static
+    decode geometry), fill device batches of up to ``batch_size`` slots,
+    and run ``interleave`` batches at a time through
     :func:`run_interleaved_episodes` (host env stepping of one cohort hides
-    behind device decode of the other).
+    behind device decode of the other). With ``pad_cohorts`` every cohort is
+    padded to exactly ``batch_size`` slots so remainder chunks reuse the
+    full-batch compiled program (a fresh odd batch size costs a 10-15 min
+    remote AOT compile at 1.2B).
 
     This puts the batched decode path (the one bench.py measures) on the
     real suite: with 870 envs x num_trials trials, most buckets fill whole
@@ -389,34 +464,42 @@ def evaluate_envs_lockstep(
 
     episodes: Dict[str, List[EpisodeResult]] = defaultdict(list)
     interleave = max(1, interleave)
+    prompt_rng = np.random.RandomState(seed)
+    wave_size = interleave * batch_size
     for key in buckets:
         items = buckets[key]
-        chunks = [items[s:s + batch_size]
-                  for s in range(0, len(items), batch_size)]
-        for gstart in range(0, len(chunks), interleave):
-            group = chunks[gstart:gstart + interleave]
-            env_groups = []
-            for chunk in group:
-                chunk_envs = []
-                for name, trial in chunk:
-                    t = (probes[name].pop() if probes[name]
-                         else make_tokenized_env(name))
-                    t.seed(seed + trial)
-                    chunk_envs.append(t)
-                env_groups.append(chunk_envs)
-            decoder = pool.get(env_groups[0][0])
-            group_results = run_interleaved_episodes(
-                env_groups, decoder, use_prompt=use_prompt,
-                strict_length=strict_length,
-                minimal_expert_data=minimal_expert_data,
-                max_step_size=max_step_size,
-                rng=np.random.RandomState(seed + gstart))
-            for chunk, results in zip(group, group_results):
-                for (name, _), res in zip(chunk, results):
-                    episodes[name].append(res)
-            for chunk, chunk_envs in zip(group, env_groups):
-                for (name, _), t in zip(chunk, chunk_envs):
-                    probes[name].append(t)  # recycle: episode is over
+        for wstart in range(0, len(items), wave_size):
+            # reset + sample prompts for a wave of work items (bounded so
+            # at most wave_size env instances are live at once)
+            recs = []
+            for name, trial in items[wstart:wstart + wave_size]:
+                t = (probes[name].pop() if probes[name]
+                     else make_tokenized_env(name))
+                t.seed(seed + trial)
+                st = _reset_env_state(
+                    t, use_prompt=use_prompt, strict_length=strict_length,
+                    minimal_expert_data=minimal_expert_data, rng=prompt_rng)
+                recs.append((name, t, st))
+            sub: Dict[Tuple, List] = defaultdict(list)
+            for rec in recs:
+                sub[_cohort_key(rec[2])].append(rec)
+            chunks = [srecs[s:s + batch_size]
+                      for srecs in sub.values()
+                      for s in range(0, len(srecs), batch_size)]
+            for gstart in range(0, len(chunks), interleave):
+                group = chunks[gstart:gstart + interleave]
+                env_groups = [[r[1] for r in c] for c in group]
+                state_groups = [[r[2] for r in c] for c in group]
+                decoder = pool.get(env_groups[0][0])
+                group_results = run_interleaved_episodes(
+                    env_groups, decoder,
+                    states_groups=state_groups,
+                    pad_to=batch_size if pad_cohorts else None,
+                    max_step_size=max_step_size)
+                for chunk, results in zip(group, group_results):
+                    for (name, t, _), res in zip(chunk, results):
+                        episodes[name].append(res)
+                        probes[name].append(t)  # recycle: episode is over
 
     out = []
     for name in env_names:

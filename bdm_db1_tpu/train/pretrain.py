@@ -151,11 +151,9 @@ def main(cfg: Optional[DB1Config] = None) -> None:
     model = TransformerXL(cfg.model, cfg.vocab, cfg.vision)
     tx = make_optimizer(cfg.train.optimizer, cfg.train.train_iters)
     example = to_gato_batch(next(loader))
-    pp_micro = (cfg.mesh.pipeline_microbatches
-                if cfg.mesh.pipeline_microbatches > 0 else None)
     init_fn, step_fn = make_sharded_train_step(
         model, tx, jax.random.PRNGKey(cfg.train.seed), example, mesh,
-        pipeline_microbatches=pp_micro)
+        pipeline_microbatches=cfg.mesh.pipeline_microbatches)
     state = init_fn(example)
     n_params = sum(
         int(np.prod(x.shape)) for x in jax.tree.leaves(state.params))

@@ -210,7 +210,12 @@ def make_sharded_train_step(model, tx, rng, example_batch, mesh: Mesh,
     if "pipe" in mesh.axis_names and mesh.shape["pipe"] > 1:
         from bdm_db1_tpu.parallel.pipeline import make_pipelined_loss_fn
 
-        n_micro = pipeline_microbatches or 2 * mesh.shape["pipe"]
+        # MeshConfig documents "-1 -> default": treat None/0/negative alike
+        # here (the API boundary) so callers can forward the config field
+        # verbatim without reproducing the sentinel translation.
+        pp_micro = pipeline_microbatches
+        n_micro = (pp_micro if pp_micro and pp_micro > 0
+                   else 2 * mesh.shape["pipe"])
         loss_fn = make_pipelined_loss_fn(model, mesh, n_micro)
     init_fn = jax.jit(
         partial(init_train_state, model, tx, rng),

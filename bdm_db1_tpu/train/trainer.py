@@ -11,7 +11,8 @@ checkpoint with auto-resume.
 from __future__ import annotations
 
 import time
-from typing import Callable, Dict, Iterable, Optional
+import weakref
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -155,30 +156,41 @@ class Trainer:
         self.logger.close()
 
 
-_EVAL_LOSS_FNS: Dict[int, Callable] = {}
+# Bounded FIFO of compiled valid-loss programs. Entries hold a weakref to
+# the model so a recycled id() (model freed, new object at the same address)
+# can never hit a stale program; the cap bounds retention — the jit closure
+# keeps its model alive, so an unbounded id-keyed dict would leak every
+# model (and its 1.2B executable) ever evaluated in the process.
+_EVAL_LOSS_FNS: "Dict[int, Tuple[Any, Callable]]" = {}
+_EVAL_LOSS_CAP = 4
 
 
 def _eval_loss_fn(model) -> Callable:
-    """One compiled valid-loss program per model instance (the r1 review
-    flagged the unjitted per-batch ``model.apply`` here — at 1.2B every
-    eval tick paid op-by-op dispatch)."""
-    fn = _EVAL_LOSS_FNS.get(id(model))
-    if fn is None:
-        @jax.jit
-        def fn(params, batch):
-            _, loss = model.apply(
-                {"params": params}, batch, compute_loss=True,
-                deterministic=True, loss_only=True)
-            return loss
+    """One compiled valid-loss program per live model instance (the r1
+    review flagged the unjitted per-batch ``model.apply`` here — at 1.2B
+    every eval tick paid op-by-op dispatch)."""
+    hit = _EVAL_LOSS_FNS.get(id(model))
+    if hit is not None and hit[0]() is model:
+        return hit[1]
 
-        _EVAL_LOSS_FNS[id(model)] = fn
+    @jax.jit
+    def fn(params, batch):
+        _, loss = model.apply(
+            {"params": params}, batch, compute_loss=True,
+            deterministic=True, loss_only=True)
+        return loss
+
+    while len(_EVAL_LOSS_FNS) >= _EVAL_LOSS_CAP:
+        _EVAL_LOSS_FNS.pop(next(iter(_EVAL_LOSS_FNS)))
+    _EVAL_LOSS_FNS[id(model)] = (weakref.ref(model), fn)
     return fn
 
 
 def evaluate_loss(model, state, batches, valid_vocab=None) -> float:
     """Mean masked CE over held-out batches (reference: train.py
     evaluate_and_print_results valid-loss path), one jitted program per
-    batch structure; losses stay on device until the final mean."""
+    batch structure; losses stay on device until one final host fetch
+    (the tunnel costs ~27 ms per fetch — one per batch added up)."""
     fn = _eval_loss_fn(model)
     losses = [fn(state.params, to_gato_batch(raw)) for raw in batches]
-    return float(np.mean([float(x) for x in losses])) if losses else float("nan")
+    return float(jnp.stack(losses).mean()) if losses else float("nan")

@@ -43,18 +43,20 @@ TPU_V5E_BF16_PEAK_FLOPS = 197e12
 
 
 def analytic_fwd_flops_per_token(model_cfg, padded_vocab: int,
-                                 qlen: int, klen: int) -> float:
+                                 qlen: int, klen: int,
+                                 batch: int = 1) -> float:
     """Forward FLOPs per token from the config (matmuls only, 2 FLOPs/MAC):
-    qkv/o projections, the r_net positional projection (amortized over the
-    qlen tokens that share it), the AC/BD/PV attention einsums at the real
-    klen, geglu FFN, and the tied LM head. Replaces the 8*N hand-wave the
-    r1 review flagged (VERDICT.md weak #3): attention + head terms here are
-    ~20% on top of parametric FLOPs at qlen=klen=1024."""
+    qkv/o projections, the r_net positional projection (computed once per
+    layer per forward, so amortized over ALL batch*qlen tokens that share
+    it), the AC/BD/PV attention einsums at the real klen, geglu FFN, and
+    the tied LM head. Replaces the 8*N hand-wave the r1 review flagged
+    (VERDICT.md weak #3): attention + head terms here are ~20% on top of
+    parametric FLOPs at qlen=klen=1024."""
     d = model_cfg.n_embed
     di = model_cfg.d_inner
     nl = model_cfg.n_layer
     attn_proj = 2 * (3 * d * d) + 2 * d * d        # qkv + o_net
-    r_net = 2 * d * d * (klen / qlen)              # [klen,d]x[d,d] / qlen
+    r_net = 2 * d * d * (klen / (qlen * batch))    # [klen,d]x[d,d], batchless
     scores = 3 * 2 * d * klen                      # AC + BD + PV einsums
     if model_cfg.activation_fn == "geglu":
         ffn = 2 * d * di + 2 * (di // 2) * d       # d->di, di/2->d
@@ -289,7 +291,7 @@ def bench_train(args) -> None:
     n_params = sum(int(np.prod(x.shape))
                    for x in jax.tree.leaves(state.params))
     fwd_ft = analytic_fwd_flops_per_token(
-        cfg.model, layout.padded_vocab_size, qlen=L, klen=L)
+        cfg.model, layout.padded_vocab_size, qlen=L, klen=L, batch=micro)
     peak = TPU_V5E_BF16_PEAK_FLOPS if not args.smoke else 1e12
     mfu = tps_chip * 3 * fwd_ft / peak
     # The reference publishes no training throughput. Baseline = an A100

@@ -147,6 +147,104 @@ def test_evaluate_envs_lockstep_multi_geometry():
     assert results[2]["length_mean"] == 4.0
 
 
+def test_cohort_rejects_ragged_states():
+    """Slots with different sampled prime lengths cannot share one device
+    batch; the cohort must raise a clear error, not np.stack-crash."""
+    import dataclasses
+
+    import pytest
+
+    from bdm_db1_tpu.eval.harness import _LockstepCohort, _reset_env_state
+
+    cfg, model, params, tenvs = _setup(
+        FakeContinuousEnv, 2, obs_dim=4, act_dim=2, episode_len=3)
+    decoder = build_decoder_for_env(model, params, tenvs[0])
+    rng = np.random.RandomState(0)
+    states = [_reset_env_state(t, use_prompt=True, strict_length=True,
+                               minimal_expert_data=False, rng=rng)
+              for t in tenvs]
+    # fake a shorter non-strict prompt: drop one transition's tokens
+    states[1] = dataclasses.replace(states[1], prime=states[1].prime[7:])
+    with pytest.raises(ValueError, match="not homogeneous"):
+        _LockstepCohort(tenvs, decoder, states=states)
+
+
+def test_padded_cohort_matches_unpadded():
+    """pad_to replicates slot 0 pre-finished: results identical to the
+    unpadded run and padding envs are never stepped."""
+    from bdm_db1_tpu.eval.harness import run_interleaved_episodes
+
+    cfg, model, params, tenvs = _setup(
+        FakeContinuousEnv, 2, obs_dim=4, act_dim=2, episode_len=4)
+    for t in tenvs:
+        t.env = _StrictAfterDone(t.env)
+    decoder = build_decoder_for_env(model, params, tenvs[0])
+    padded = run_interleaved_episodes(
+        [tenvs], decoder, rng=np.random.RandomState(0), pad_to=4)[0]
+    assert len(padded) == 2  # padding slots dropped from results
+
+    cfg, model2, params2, tenvs2 = _setup(
+        FakeContinuousEnv, 2, obs_dim=4, act_dim=2, episode_len=4)
+    decoder2 = build_decoder_for_env(model, params, tenvs2[0])
+    plain = run_batched_episodes(
+        tenvs2, decoder2, rng=np.random.RandomState(0))
+    assert [r.episode_length for r in padded] == \
+        [r.episode_length for r in plain]
+    for a, b in zip(padded, plain):
+        assert abs(a.episode_return - b.episode_return) < 1e-6
+
+
+def test_lockstep_mixed_image_presence_same_geometry():
+    """FakeImageEnv(hw=2*patch) and FakeDiscreteEnv(obs_dim=4) share the
+    decode geometry (obs 4, act 1, discrete n=4) but differ in image
+    layout; the driver must sub-bucket them instead of letting slot 0's
+    image presence decide for the whole cohort."""
+    from bdm_db1_tpu.eval.envs import FakeImageEnv
+    from bdm_db1_tpu.eval.harness import decode_geometry, evaluate_envs_lockstep
+
+    cfg, model, params, tenvs_d = _setup(
+        FakeDiscreteEnv, 1, obs_dim=4, n_actions=4, episode_len=3)
+    hw = 2 * cfg.vision.patch_size
+    # _setup's init batch has no images -> no vision params; re-init with an
+    # image slot so the image cohort's decode finds the vision tower
+    L = cfg.model.n_position
+    tok = jnp.zeros((1, L), jnp.int32)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        {"rl": RLTaskBatch(
+            tokens=tok.at[0, 0].set(-1), position_id=tok, loss_mask=tok,
+            label=tok,
+            images=jnp.zeros((1, 1, hw // 2, hw // 2, 3), jnp.float32))},
+    )["params"]
+    suite = tenvs_d[0].ds.tok
+    img_store = TrajectoryStore.from_flat_dataset(
+        FakeImageEnv(hw=hw, n_actions=4, episode_len=3,
+                     seed=999).make_dataset(3))
+    img_ds = RLFullDataset("fake-img", img_store, suite,
+                           seq_length=cfg.model.n_position, use_prompt=True,
+                           seed=0)
+    tenv_img = TokenizedEnv(
+        FakeImageEnv(hw=hw, n_actions=4, episode_len=3, seed=0), img_ds)
+    assert decode_geometry(tenv_img) == decode_geometry(tenvs_d[0])
+
+    instances = {"disc": tenvs_d[0], "img": tenv_img}
+
+    def make_tenv(name):
+        import copy
+
+        t = instances[name]
+        return type(t)(copy.deepcopy(t.env), t.ds,
+                       eval_prompt_strategy=t.eval_prompt_strategy)
+
+    results = evaluate_envs_lockstep(
+        model, params, ["disc", "img"], make_tenv,
+        num_trials=2, batch_size=4, seed=0)
+    assert len(results) == 2
+    assert all(r["num_trials"] == 2 for r in results)
+    assert all(np.isfinite(r["return_mean"]) for r in results)
+    assert all(r["length_mean"] == 3.0 for r in results)
+
+
 def test_interleaved_matches_sequential():
     """Two cohorts pipelined (host stepping overlapped with the other
     cohort's device decode) must produce exactly the results of running
