@@ -110,11 +110,9 @@ class ActionDecoder:
 
     def init_mems(self, batch_size: int = 1):
         if self.use_kv_cache:
-            cache = self.model.apply(
+            return self.model.apply(
                 {"params": self.params}, batch_size,
-                method=TransformerXL.init_kv_cache)
-            cache["cursor"] = jnp.zeros((), jnp.int32)
-            return cache
+                method=TransformerXL.init_kv_cache_ring)
         return self.model.apply(
             {"params": self.params}, batch_size,
             method=TransformerXL.init_mems)
@@ -205,13 +203,31 @@ def _decode_step(model, action_length, use_kv_cache, variables, tokens, pos,
             # a prime longer than the window can't ring-scatter (slots would
             # collide); realign once and take the window-slide path. Never
             # hit at flagship geometry (mem_len == n_position bounds q).
-            aligned = {"k": jnp.roll(mems["k"], -mems["cursor"], axis=2),
-                       "v": jnp.roll(mems["v"], -mems["cursor"], axis=2)}
+            from bdm_db1_tpu.models.transformer_xl import (
+                dequantize_kv, quantize_kv_rows,
+            )
+
+            quant = "k_scale" in mems
+            dt = jnp.dtype(model.cfg.dtype)
+            if quant:  # dequantize in ring layout, then realign
+                ring = dict(mems)
+                ring["k"] = dequantize_kv(mems["k"], mems["k_scale"], dt)
+                ring["v"] = dequantize_kv(mems["v"], mems["v_scale"], dt)
+            else:
+                ring = mems
+            aligned = model.apply(variables, ring,
+                                  method=TransformerXL.align_ring_cache)
             logits, aligned = model.apply(
                 variables, tokens, pos, aligned, images, rk_prime,
                 method=TransformerXL.decode_rl_kv)
-            mems = {"k": aligned["k"], "v": aligned["v"],
-                    "cursor": jnp.zeros((), jnp.int32)}
+            if quant:
+                kq, ks = quantize_kv_rows(aligned["k"])
+                vq, vs = quantize_kv_rows(aligned["v"])
+                mems = {"k": kq, "v": vq, "k_scale": ks, "v_scale": vs,
+                        "cursor": jnp.zeros((), jnp.int32)}
+            else:
+                mems = {"k": aligned["k"], "v": aligned["v"],
+                        "cursor": jnp.zeros((), jnp.int32)}
     else:
         logits, mems = model.apply(
             variables, tokens, pos, mems, images,

@@ -132,6 +132,22 @@ def remat_policy_for(cfg: ModelConfig):
     return policy
 
 
+def quantize_kv_rows(x: Array) -> Tuple[Array, Array]:
+    """Symmetric per-(…, head) int8 quantization over the trailing Dh axis.
+    Returns (int8 values, float32 scales with the Dh axis dropped)."""
+    xf = jax.lax.stop_gradient(x).astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return q, scale[..., 0]
+
+
+def dequantize_kv(q: Array, scale: Array, dtype) -> Array:
+    """Inverse of :func:`quantize_kv_rows` (broadcast scales over Dh)."""
+    return (q.astype(jnp.float32)
+            * scale.astype(jnp.float32)[..., None]).astype(dtype)
+
+
 def _use_pallas(cfg: ModelConfig, qlen: int, klen: int,
                 use_dropatt: bool) -> bool:
     if cfg.attention_impl == "xla" or use_dropatt:
@@ -202,7 +218,7 @@ class RelMultiHeadAttn(nn.Module):
         b = x.shape[0]
         aux = None
         rk_pre = None
-        if kv_mode and len(mem) == 4:
+        if kv_mode and len(mem) in (4, 6):
             # ---- ring-buffer cache, any qlen <= mem_len ------------------
             # mem = (k_cache, v_cache, rk_full, cursor): the cache is a ring
             # (slot j holds the key of age rank (j - cursor) mod M, oldest
@@ -214,7 +230,21 @@ class RelMultiHeadAttn(nn.Module):
             # scatters (k_x, v_x) at the cursor afterwards — the cache is
             # never copied. ``mask`` arrives in aligned order [q, M+q]; its
             # cache columns get the same rotation.
-            k_cache, v_cache, rk_full, cursor = mem
+            # A 6-tuple carries an int8 cache + per-(position, head) scales
+            # (decode_cache_dtype="int8"): dequantization fuses into the
+            # score/PV contractions, so HBM reads the cache at 1 byte/elem.
+            if len(mem) == 6:
+                k_cache, v_cache, k_scale, v_scale, rk_full, cursor = mem
+            else:
+                k_cache, v_cache, rk_full, cursor = mem
+                k_scale = v_scale = None
+            # cache slices arrive [B, M, H, Dh]. (A [B, H, M, Dh] reorder
+            # was tried to pre-match the dot operand layout and measured
+            # SLOWER end to end — 75 vs 100 actions/s at 1.2B b24: XLA's
+            # preferred while-carry layout follows the scatter, not the
+            # dot, so the reorder only moved the relayout copies around.
+            # The actual fix is the q==1 dynamic_update_slice fast path in
+            # decode_rl_kv_ring.)
             M = k_cache.shape[1]
             pre = ln(x.astype(dtype)) if cfg.pre_lnorm else x.astype(dtype)
             q, k_x, v_x = jnp.split(qkv_net(pre), 3, axis=-1)
@@ -225,8 +255,16 @@ class RelMultiHeadAttn(nn.Module):
             qf = q.astype(jnp.float32)
             qw = qf + r_w_bias.astype(jnp.float32)
             qr = qf + r_r_bias.astype(jnp.float32)
+            # int8 cache: the operand stays a bare int8->f32 convert (fuses
+            # into the dot's operand read) and the per-(position, head)
+            # scale lands on the [B,H,q,M] scores — scaling the cache
+            # operand itself makes XLA materialize a full-precision cache
+            # copy per layer (measured slower than the bf16 cache).
             ac_s = jnp.einsum("bihd,bjhd->bhij", qw,
                               k_cache.astype(jnp.float32))  # ring order
+            if k_scale is not None:  # [B, M, H] -> broadcast over queries
+                ac_s = ac_s * k_scale.astype(
+                    jnp.float32).transpose(0, 2, 1)[:, :, None, :]
             ac_x = jnp.einsum("bihd,bjhd->bhij", qw,
                               k_x.astype(jnp.float32))      # new tokens
             from bdm_db1_tpu.ops.attention import rel_shift
@@ -244,7 +282,15 @@ class RelMultiHeadAttn(nn.Module):
                 [jnp.roll(mask[:, :M], cursor, axis=-1), mask[:, M:]],
                 axis=-1)
             scores = jnp.where(mask_ring[None, None], -1e30, scores)
-            probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+            probs_f = jax.nn.softmax(scores, axis=-1)
+            if v_scale is not None:
+                # fold the V dequant scale into the probabilities (f32,
+                # before the cast) so the PV operand stays a bare convert
+                sc = v_scale.astype(jnp.float32).transpose(0, 2, 1)
+                probs_f = jnp.concatenate(
+                    [probs_f[..., :M] * sc[:, :, None, :], probs_f[..., M:]],
+                    axis=-1)
+            probs = probs_f.astype(dtype)
             v_all = jnp.concatenate([v_cache.astype(dtype), v_x], axis=1)
             attn = jnp.einsum("bhij,bjhd->bihd", probs, v_all)
             out = nn.Dense(
@@ -602,6 +648,29 @@ class TransformerXL(nn.Module):
         return {"k": jnp.zeros(shape, dtype=jnp.dtype(cfg.dtype)),
                 "v": jnp.zeros(shape, dtype=jnp.dtype(cfg.dtype))}
 
+    def init_kv_cache_ring(self, batch_size: int) -> Dict[str, Array]:
+        """Zero ring K/V cache for :meth:`decode_rl_kv_ring` — same
+        [n_layer, B, mem_len, H, Dh] layout as the aligned cache, plus the
+        ring cursor. With decode_cache_dtype="int8" the values are int8
+        with per-(position, head) f32 scales (zero values x zero scales
+        still dequantize to the reference-equivalent zero cache)."""
+        cfg = self.cfg
+        assert not cfg.pre_lnorm, (
+            "zero KV cache is only reference-equivalent for post-LN; "
+            "use init_mems/decode_rl for pre-LN models")
+        shape = (cfg.n_layer, batch_size, cfg.mem_len, cfg.n_head, cfg.d_head)
+        cursor = jnp.zeros((), jnp.int32)
+        if cfg.decode_cache_dtype == "int8":
+            sshape = shape[:-1]
+            return {"k": jnp.zeros(shape, jnp.int8),
+                    "v": jnp.zeros(shape, jnp.int8),
+                    "k_scale": jnp.zeros(sshape, jnp.float32),
+                    "v_scale": jnp.zeros(sshape, jnp.float32),
+                    "cursor": cursor}
+        return {"k": jnp.zeros(shape, dtype=jnp.dtype(cfg.dtype)),
+                "v": jnp.zeros(shape, dtype=jnp.dtype(cfg.dtype)),
+                "cursor": cursor}
+
     def decode_rl_kv(
         self,
         tokens: Array,          # [B, q]
@@ -622,6 +691,7 @@ class TransformerXL(nn.Module):
         tokens: Array,          # [B, q], q <= mem_len
         position_id: Array,     # [B, q]
         cache: Dict[str, Array],  # {"k","v": [L,B,M,H,Dh], "cursor": int32}
+                                  # (+"k_scale"/"v_scale" [L,B,M,H] if int8)
         rk_full: Array,         # [L, M+q, H, Dh] precomputed projections
         images: Optional[Array] = None,
     ) -> Tuple[Array, Dict[str, Array]]:
@@ -655,23 +725,56 @@ class TransformerXL(nn.Module):
         r_w = getattr(self, "r_w_bias", None)
         r_r = getattr(self, "r_r_bias", None)
         cursor_per_layer = jnp.broadcast_to(cursor, (cfg.n_layer,))
-        h, (k_x, v_x) = self.layers(
-            h, (cache["k"], cache["v"], rk_full, cursor_per_layer), None,
-            mask, r_w, r_r, True)
+        quantized = "k_scale" in cache
+        if quantized:
+            mem_xs = (cache["k"], cache["v"], cache["k_scale"],
+                      cache["v_scale"], rk_full, cursor_per_layer)
+        else:
+            mem_xs = (cache["k"], cache["v"], rk_full, cursor_per_layer)
+        h, (k_x, v_x) = self.layers(h, mem_xs, None, mask, r_w, r_r, True)
         logits = self.logits(h[:, -1:, :])[:, 0, :]
 
-        # scatter the q new rows at (cursor + t) % M — no full-cache copy
-        idx = (cursor + jnp.arange(qlen)) % M
-        new_cache = {
-            "k": cache["k"].at[:, :, idx].set(jax.lax.stop_gradient(k_x)),
-            "v": cache["v"].at[:, :, idx].set(jax.lax.stop_gradient(v_x)),
-            "cursor": (cursor + qlen) % M,
-        }
+        # write the q new rows at (cursor + t) % M — no full-cache copy.
+        # q == 1 (the per-action-dim decode steps, 6-7 of the 8 forwards
+        # per env step) can never wrap, so it uses dynamic_update_slice:
+        # an index-vector scatter makes XLA pick a scatter-friendly layout
+        # for the whole while-loop cache carry and insert a ~100 MB/layer
+        # relayout copy in front of every score dot (xprof-measured ~20
+        # ms/step at 1.2B batch 24). Multi-token primes can wrap and keep
+        # the modular scatter.
+        k_x = jax.lax.stop_gradient(k_x)
+        v_x = jax.lax.stop_gradient(v_x)
+        if quantized:
+            kv = {"k": quantize_kv_rows(k_x), "v": quantize_kv_rows(v_x)}
+        if qlen == 1:
+            def put(buf, upd, axis=2):
+                return jax.lax.dynamic_update_slice_in_dim(
+                    buf, upd, cursor, axis=axis)
+        else:
+            idx = (cursor + jnp.arange(qlen)) % M
+
+            def put(buf, upd, axis=2):
+                assert axis == 2
+                return buf.at[:, :, idx].set(upd)
+        if quantized:
+            new_cache = {
+                "k": put(cache["k"], kv["k"][0]),
+                "v": put(cache["v"], kv["v"][0]),
+                "k_scale": put(cache["k_scale"], kv["k"][1]),
+                "v_scale": put(cache["v_scale"], kv["v"][1]),
+                "cursor": (cursor + qlen) % M,
+            }
+        else:
+            new_cache = {
+                "k": put(cache["k"], k_x),
+                "v": put(cache["v"], v_x),
+                "cursor": (cursor + qlen) % M,
+            }
         return logits, new_cache
 
     def align_ring_cache(self, cache: Dict[str, Array]) -> Dict[str, Array]:
         """Rotate a ring cache back to aligned order (oldest at slot 0),
-        for the multi-token prime path."""
+        as :meth:`decode_rl_kv` expects."""
         return {
             "k": jnp.roll(cache["k"], -cache["cursor"], axis=2),
             "v": jnp.roll(cache["v"], -cache["cursor"], axis=2),

@@ -89,6 +89,11 @@ def main() -> None:
     ap.add_argument("--no-dropout", action="store_true",
                     help="train mode: zero all dropout rates (diagnostic: "
                          "isolates the rng/mask cost)")
+    ap.add_argument("--cache-dtype", default="",
+                    choices=["", "int8"],
+                    help="eval mode: decode KV ring cache storage; int8 "
+                         "halves the cache HBM read per decode step "
+                         "(tolerance path, not bit-parity)")
     ap.add_argument("--prng-impl", default="rbg",
                     choices=["rbg", "unsafe_rbg", "threefry"],
                     help="train mode: PRNG behind the dropout masks; rbg = "
@@ -138,6 +143,7 @@ def bench_eval(args) -> None:
     else:
         cfg = db1_1p2b()
         cfg.model.param_dtype = "bfloat16"
+        cfg.model.decode_cache_dtype = args.cache_dtype
         obs_dim, act_dim = 17, 6  # HalfCheetah geometry (BASELINE config #1)
         episode_len = args.warmup + args.steps
 

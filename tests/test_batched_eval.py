@@ -147,6 +147,39 @@ def test_evaluate_envs_lockstep_multi_geometry():
     assert results[2]["length_mean"] == 4.0
 
 
+def test_int8_cache_episode_end_to_end():
+    """decode_cache_dtype="int8" drives a full fake-env episode through the
+    production ActionDecoder path (ring cache, donated carry) — serving
+    path, tolerance not bit-parity."""
+    cfg = db1_tiny()
+    cfg.model.dtype = "float32"
+    cfg.model.decode_cache_dtype = "int8"
+    suite = RLTokenizerSuite(
+        cfg.vocab.layout(), ScalarTokenizer(cfg.vocab.num_continuous_bin),
+        ByteTextTokenizer(), vision_patch_size=cfg.vision.patch_size)
+    store = TrajectoryStore.from_flat_dataset(
+        FakeContinuousEnv(seed=999, obs_dim=4, act_dim=2,
+                          episode_len=5).make_dataset(5))
+    ds = RLFullDataset("fake", store, suite,
+                       seq_length=cfg.model.n_position, use_prompt=True,
+                       seed=0)
+    tenvs = [TokenizedEnv(
+        FakeContinuousEnv(seed=i, obs_dim=4, act_dim=2, episode_len=5), ds)
+        for i in range(2)]
+    model = TransformerXL(cfg.model, cfg.vocab, cfg.vision)
+    L = cfg.model.n_position
+    tok = jnp.zeros((1, L), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), {"rl": RLTaskBatch(
+        tokens=tok, position_id=tok, loss_mask=tok, label=tok)})["params"]
+    decoder = build_decoder_for_env(model, params, tenvs[0])
+    mems = decoder.init_mems(2)
+    assert mems["k"].dtype == jnp.int8 and "k_scale" in mems
+    results = run_batched_episodes(
+        tenvs, decoder, rng=np.random.RandomState(0))
+    assert [r.episode_length for r in results] == [5, 5]
+    assert all(np.isfinite(r.episode_return) for r in results)
+
+
 def test_cohort_rejects_ragged_states():
     """Slots with different sampled prime lengths cannot share one device
     batch; the cohort must raise a clear error, not np.stack-crash."""

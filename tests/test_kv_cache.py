@@ -99,8 +99,11 @@ def test_ring_cache_matches_aligned():
 
     aligned = model.apply({"params": params}, 1,
                           method=TransformerXL.init_kv_cache)
-    ring = {"k": aligned["k"], "v": aligned["v"],
-            "cursor": jnp.zeros((), jnp.int32)}
+
+    def to_ring(al):
+        # same [L,B,M,H,Dh] layout; a fresh ring starts at cursor 0
+        return {"k": al["k"], "v": al["v"],
+                "cursor": jnp.zeros((), jnp.int32)}
 
     rng = np.random.RandomState(0)
     # prime both with a short sequence
@@ -111,8 +114,7 @@ def test_ring_cache_matches_aligned():
                       method=TransformerXL.precompute_rk)
     lg_a, aligned = model.apply({"params": params}, prime, ppos, aligned,
                                 None, rk5, method=TransformerXL.decode_rl_kv)
-    ring = {"k": aligned["k"], "v": aligned["v"],
-            "cursor": jnp.zeros((), jnp.int32)}
+    ring = to_ring(aligned)
 
     # many single-token steps: aligned-shift vs ring must agree,
     # including cursor wraparound (mem_len is 32 in the tiny config)
@@ -131,9 +133,60 @@ def test_ring_cache_matches_aligned():
             err_msg=f"step {step}")
 
     # re-aligning the ring reproduces the aligned cache
-    realigned_k = np.asarray(jnp.roll(ring["k"], -ring["cursor"], axis=2))
-    np.testing.assert_allclose(realigned_k, np.asarray(aligned["k"]),
+    realigned = model.apply({"params": params}, ring,
+                            method=TransformerXL.align_ring_cache)
+    np.testing.assert_allclose(np.asarray(realigned["k"]),
+                               np.asarray(aligned["k"]),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_ring_cache_int8_close_to_exact():
+    """decode_cache_dtype="int8" (per-(position, head) scales, dequant fused
+    into the score/PV contractions) tracks the exact ring cache through
+    multi-token primes, single-token steps, and cursor wraparound. Opt-in
+    serving path: halves the cache HBM read; tolerance, not bit-parity."""
+    cfg = db1_tiny()
+    cfg.model.dtype = "float32"
+    model = TransformerXL(cfg.model, cfg.vocab, cfg.vision)
+    cfg8 = db1_tiny()
+    cfg8.model.dtype = "float32"
+    cfg8.model.decode_cache_dtype = "int8"
+    model8 = TransformerXL(cfg8.model, cfg8.vocab, cfg8.vision)
+    layout = cfg.vocab.layout()
+    tok0 = jnp.zeros((1, cfg.model.n_position), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), {"rl": RLTaskBatch(
+        tokens=tok0, position_id=tok0, loss_mask=tok0, label=tok0)})["params"]
+
+    ring = model.apply({"params": params}, 2,
+                       method=TransformerXL.init_kv_cache_ring)
+    ring8 = model8.apply({"params": params}, 2,
+                         method=TransformerXL.init_kv_cache_ring)
+    assert ring8["k"].dtype == jnp.int8 and "k_scale" in ring8
+    rks = {}
+
+    def rk_for(q):
+        if q not in rks:
+            rks[q] = model.apply({"params": params}, q,
+                                 method=TransformerXL.precompute_rk)
+        return rks[q]
+
+    rng = np.random.RandomState(2)
+    worst = 0.0
+    for i, qlen in enumerate((6, 1, 1, 9, 1, 30, 1, 4, 26, 1)):
+        t = jnp.asarray(
+            rng.randint(0, layout.total_vocab_size, (2, qlen)), jnp.int32)
+        p = jnp.asarray(rng.randint(0, 8, (2, qlen)), jnp.int32)
+        lg, ring = model.apply(
+            {"params": params}, t, p, ring, rk_for(qlen),
+            method=TransformerXL.decode_rl_kv_ring)
+        lg8, ring8 = model8.apply(
+            {"params": params}, t, p, ring8, rk_for(qlen),
+            method=TransformerXL.decode_rl_kv_ring)
+        scale = float(np.abs(np.asarray(lg)).max())
+        diff = float(np.abs(np.asarray(lg8) - np.asarray(lg)).max())
+        worst = max(worst, diff / scale)
+        assert diff / scale < 0.05, (i, qlen, diff, scale)
+    assert worst > 0  # the quantized path must actually differ (is int8)
 
 
 def test_ring_multitoken_prime_matches_aligned():
@@ -151,8 +204,8 @@ def test_ring_multitoken_prime_matches_aligned():
 
     aligned = model.apply({"params": params}, 2,
                           method=TransformerXL.init_kv_cache)
-    ring = {"k": aligned["k"], "v": aligned["v"],
-            "cursor": jnp.zeros((), jnp.int32)}
+    ring = model.apply({"params": params}, 2,
+                       method=TransformerXL.init_kv_cache_ring)
     rks = {}
 
     def rk_for(q):
@@ -175,6 +228,8 @@ def test_ring_multitoken_prime_matches_aligned():
         np.testing.assert_allclose(
             np.asarray(lg_ring), np.asarray(lg_al), rtol=2e-5, atol=2e-5,
             err_msg=f"call {i} qlen {qlen}")
-    realigned_k = np.asarray(jnp.roll(ring["k"], -ring["cursor"], axis=2))
-    np.testing.assert_allclose(realigned_k, np.asarray(aligned["k"]),
+    realigned = model.apply({"params": params}, ring,
+                            method=TransformerXL.align_ring_cache)
+    np.testing.assert_allclose(np.asarray(realigned["k"]),
+                               np.asarray(aligned["k"]),
                                rtol=2e-5, atol=2e-5)
