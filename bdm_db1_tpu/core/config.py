@@ -196,7 +196,7 @@ class EvalConfig:
     # device call (the path bench.py measures); batched=False falls back to
     # the reference-style one-env-at-a-time loop
     batched: bool = True
-    batch_size: int = 24
+    batch_size: int = 40
     # cohorts pipelined per geometry bucket: host env stepping of one
     # cohort overlaps device decode of the others (eval/harness.py)
     interleave: int = 2

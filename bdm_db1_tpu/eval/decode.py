@@ -177,32 +177,69 @@ class ActionDecoder:
         pos = jnp.broadcast_to(jnp.asarray(pos, jnp.int32)[None], (b, q))
         images = (jnp.asarray(prime_images, jnp.float32)
                   if prime_images is not None else None)
+        # long no-image primes run through the ring in <=_PRIME_CHUNK
+        # slices: the fp32 [B, H, q, M+q] score buffers of a ~1000-token
+        # expert-prompt prime are what exceed HBM at large batch (4.2 GB
+        # per layer at 1.2B batch 32), not the cache. Image primes can't
+        # chunk (the -1-slot count per slice is data-dependent) and keep
+        # the one-shot path.
+        chunk = _prime_chunk(self.model.cfg)
+        if self.use_kv_cache and images is None and q > chunk:
+            sizes = [chunk] * (q // chunk)
+            if q % chunk:
+                sizes.append(q % chunk)
+            rk_chunks = tuple(self._rk_for(s) for s in sizes)
+        else:
+            rk_chunks = (self._rk_for(q),)
         act_tokens, new_mems = self._jit_decode(
             {"params": self.params}, tokens, pos, mems,
-            bias_dev, images,
-            self._rk_for(tokens.shape[1]), self._rk_for(1))
+            bias_dev, images, rk_chunks, self._rk_for(1))
         return act_tokens, new_mems
 
 
+def _prime_chunk(model_cfg) -> int:
+    """Max tokens per ring prime slice (also bounds q <= mem_len)."""
+    return min(256, model_cfg.mem_len)
+
+
 def _decode_step(model, action_length, use_kv_cache, variables, tokens, pos,
-                 mems, bias, images, rk_prime=None, rk_step=None):
+                 mems, bias, images, rk_chunks=None, rk_step=None):
     """prime forward + scan over action dims, entirely on device.
 
     tokens/pos: [B, q]; bias: [B, V]; returns ([B, action_length], mems).
     The KV path is ring-buffered end to end: the multi-token prime and the
-    single-token action steps both scatter their K/V rows in place at the
+    single-token action steps both write their K/V rows in place at the
     ring cursor — no full-cache roll/concat/slice ever runs (those were ~8
-    full-cache HBM passes per env step at 1.2B, ~40 ms of the 154 ms step)."""
-    b = tokens.shape[0]
+    full-cache HBM passes per env step at 1.2B, ~40 ms of the 154 ms step).
+    ``rk_chunks`` holds one precomputed positional projection per prime
+    slice: a no-image prime of any length runs as consecutive ring calls
+    (exact — the ring scatter + rotated BD/mask make chunked priming
+    identical to one-shot, tests/test_kv_cache.py multi-call coverage),
+    which caps the fp32 score buffers AND subsumes q > mem_len."""
+    b, q = tokens.shape
     if use_kv_cache:
-        if tokens.shape[1] <= model.cfg.mem_len:
+        if len(rk_chunks) > 1:          # chunked no-image prime
+            logits = None
+            start = 0
+            for rk_c in rk_chunks:      # static unroll (sizes are static)
+                size = rk_c.shape[1] - model.cfg.mem_len
+                logits, mems = model.apply(
+                    variables,
+                    jax.lax.slice_in_dim(tokens, start, start + size, axis=1),
+                    jax.lax.slice_in_dim(pos, start, start + size, axis=1),
+                    mems, rk_c, None,
+                    method=TransformerXL.decode_rl_kv_ring)
+                start += size
+        elif q <= model.cfg.mem_len:
             logits, mems = model.apply(
-                variables, tokens, pos, mems, rk_prime, images,
+                variables, tokens, pos, mems, rk_chunks[0], images,
                 method=TransformerXL.decode_rl_kv_ring)
         else:
-            # a prime longer than the window can't ring-scatter (slots would
-            # collide); realign once and take the window-slide path. Never
-            # hit at flagship geometry (mem_len == n_position bounds q).
+            # an IMAGE prime longer than the window can't chunk (the
+            # -1-slot count per slice is data-dependent) and can't
+            # ring-scatter in one shot (slots would collide); realign once
+            # and take the window-slide path. Never hit at flagship
+            # geometry (mem_len == n_position bounds q).
             from bdm_db1_tpu.models.transformer_xl import (
                 dequantize_kv, quantize_kv_rows,
             )
@@ -218,7 +255,7 @@ def _decode_step(model, action_length, use_kv_cache, variables, tokens, pos,
             aligned = model.apply(variables, ring,
                                   method=TransformerXL.align_ring_cache)
             logits, aligned = model.apply(
-                variables, tokens, pos, aligned, images, rk_prime,
+                variables, tokens, pos, aligned, images, rk_chunks[0],
                 method=TransformerXL.decode_rl_kv)
             if quant:
                 kq, ks = quantize_kv_rows(aligned["k"])

@@ -267,11 +267,14 @@ class RelMultiHeadAttn(nn.Module):
                     jnp.float32).transpose(0, 2, 1)[:, :, None, :]
             ac_x = jnp.einsum("bihd,bjhd->bhij", qw,
                               k_x.astype(jnp.float32))      # new tokens
-            from bdm_db1_tpu.ops.attention import rel_shift
+            from bdm_db1_tpu.ops.attention import rel_shift, rel_shift_sliced
 
             bd = jnp.einsum("bihd,jhd->bhij", qr,
                             rk_full.astype(jnp.float32))    # [B,H,q,M+q]
-            bd = rel_shift(bd)
+            # small-q primes (the per-env-step hot path) use the slice
+            # form: the pad/reshape trick's transposes cost ~31 ms/step at
+            # 1.2B b24; differences live only in always-masked columns
+            bd = rel_shift_sliced(bd) if qlen <= 64 else rel_shift(bd)
             # aligned col c (0 = oldest) lives at ring slot (cursor + c) % M
             bd_s = jnp.roll(bd[..., :M], cursor, axis=-1)
             bd_x = bd[..., M:]

@@ -139,3 +139,24 @@ def test_mixed_modality_batch(tiny):
     logits, loss = model.apply({"params": params2}, batch)
     assert logits.shape == (5, L, layout.padded_vocab_size)
     assert jnp.isfinite(loss)
+
+
+def test_rel_shift_sliced_matches_on_valid_region():
+    """rel_shift_sliced == rel_shift wherever attention can look (row i,
+    cols j <= mlen + i); the trailing always-masked cols may differ (zeros
+    vs the pad/reshape trick's wrapped junk)."""
+    import numpy as np
+
+    from bdm_db1_tpu.ops.attention import rel_shift, rel_shift_sliced
+
+    rng = np.random.RandomState(0)
+    for q, mlen in ((1, 7), (5, 9), (18, 32), (7, 0)):
+        k = mlen + q
+        x = jnp.asarray(rng.randn(2, 3, q, k), jnp.float32)
+        a = np.asarray(rel_shift(x))
+        b = np.asarray(rel_shift_sliced(x))
+        for i in range(q):
+            valid = mlen + i + 1
+            np.testing.assert_allclose(a[:, :, i, :valid], b[:, :, i, :valid],
+                                       rtol=0, atol=0,
+                                       err_msg=f"q={q} mlen={mlen} row {i}")
