@@ -195,8 +195,13 @@ class EvalConfig:
     # lockstep batching: decode up to batch_size same-geometry episodes per
     # device call (the path bench.py measures); batched=False falls back to
     # the reference-style one-env-at-a-time loop
+    # NOTE: the production driver runs `interleave` cohorts concurrently and
+    # each live cohort holds its own ring KV cache (24 x batch 1.2B bf16
+    # cache = 4.8 GB), so interleave * batch_size bounds HBM — 2 x 24 fits
+    # one v5e with headroom; a single cohort can go to 40 (bench.py's
+    # measured 142.6 actions/s point).
     batched: bool = True
-    batch_size: int = 40
+    batch_size: int = 24
     # cohorts pipelined per geometry bucket: host env stepping of one
     # cohort overlaps device decode of the others (eval/harness.py)
     interleave: int = 2

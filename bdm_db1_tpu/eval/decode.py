@@ -183,8 +183,14 @@ class ActionDecoder:
         # per layer at 1.2B batch 32), not the cache. Image primes can't
         # chunk (the -1-slot count per slice is data-dependent) and keep
         # the one-shot path.
+        # chunking is only exact under same_length (every query sees
+        # exactly mem_len keys, so consecutive ring calls attend the same
+        # set as one call); plain-causal configs attend the full in-call
+        # prefix and must prime one-shot (verified numerically: bit-equal
+        # with same_length, ~4e-4 logit drift without)
         chunk = _prime_chunk(self.model.cfg)
-        if self.use_kv_cache and images is None and q > chunk:
+        if (self.use_kv_cache and images is None and q > chunk
+                and self.model.cfg.same_length):
             sizes = [chunk] * (q // chunk)
             if q % chunk:
                 sizes.append(q % chunk)
@@ -212,10 +218,11 @@ def _decode_step(model, action_length, use_kv_cache, variables, tokens, pos,
     ring cursor — no full-cache roll/concat/slice ever runs (those were ~8
     full-cache HBM passes per env step at 1.2B, ~40 ms of the 154 ms step).
     ``rk_chunks`` holds one precomputed positional projection per prime
-    slice: a no-image prime of any length runs as consecutive ring calls
-    (exact — the ring scatter + rotated BD/mask make chunked priming
-    identical to one-shot, tests/test_kv_cache.py multi-call coverage),
-    which caps the fp32 score buffers AND subsumes q > mem_len."""
+    slice: a no-image same_length prime of any length runs as consecutive
+    ring calls (exact under same_length — every query sees exactly mem_len
+    keys, tests/test_kv_cache.py chunked-vs-one-shot coverage), which caps
+    the fp32 score buffers AND subsumes q > mem_len. Plain-causal or image
+    primes arrive with a single rk entry and take the one-shot paths."""
     b, q = tokens.shape
     if use_kv_cache:
         if len(rk_chunks) > 1:          # chunked no-image prime

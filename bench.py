@@ -144,9 +144,9 @@ def bench_eval(args) -> None:
     else:
         cfg = db1_1p2b()
         cfg.model.param_dtype = "bfloat16"
-        cfg.model.decode_cache_dtype = args.cache_dtype
         obs_dim, act_dim = 17, 6  # HalfCheetah geometry (BASELINE config #1)
         episode_len = args.warmup + args.steps
+    cfg.model.decode_cache_dtype = args.cache_dtype
 
     B = max(1, args.batch if not args.smoke else 2)
     layout = cfg.vocab.layout()

@@ -233,3 +233,47 @@ def test_ring_multitoken_prime_matches_aligned():
     np.testing.assert_allclose(np.asarray(realigned["k"]),
                                np.asarray(aligned["k"]),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_chunked_prime_exactness_and_causal_gate():
+    """Chunked ring priming (eval/decode.py _decode_step) is bit-equal to
+    one-shot priming under same_length; with same_length=False the decoder
+    must NOT chunk — long primes take the aligned window-slide fallback,
+    which this test checks against a reference decode_rl_kv pass."""
+    from bdm_db1_tpu.eval.decode import ActionDecoder, _prime_chunk
+
+    for same_len in (True, False):
+        cfg = db1_tiny()
+        cfg.model.dtype = "float32"
+        cfg.model.same_length = same_len
+        model = TransformerXL(cfg.model, cfg.vocab, cfg.vision)
+        layout = cfg.vocab.layout()
+        tok0 = jnp.zeros((1, cfg.model.n_position), jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), {"rl": RLTaskBatch(
+            tokens=tok0, position_id=tok0, loss_mask=tok0,
+            label=tok0)})["params"]
+        dec = ActionDecoder(model, params, layout, obs_length=4,
+                            action_length=2, discrete_action=False)
+        assert dec.use_kv_cache
+        chunk = _prime_chunk(cfg.model)  # == mem_len == 32 on tiny
+        q = chunk + 9                    # forces chunking / the fallback
+        rng = np.random.RandomState(3)
+        prime = rng.randint(0, layout.total_vocab_size, (2, q))
+        acts, mems = dec.decode(prime, dec.init_mems(2))
+        assert acts.shape == (2, 2)
+
+        # reference: one aligned window-slide pass over a fresh cache
+        aligned = model.apply({"params": params}, 2,
+                              method=TransformerXL.init_kv_cache)
+        rk = model.apply({"params": params}, q,
+                         method=TransformerXL.precompute_rk)
+        pos = np.asarray(dec._pos_cache[q])[None].repeat(2, 0)
+        lg_ref, aligned = model.apply(
+            {"params": params}, jnp.asarray(prime, jnp.int32),
+            jnp.asarray(pos, jnp.int32), aligned, None, rk,
+            method=TransformerXL.decode_rl_kv)
+        bias = layout.continuous_action_logit_bias()
+        tok_ref = np.argmax(np.asarray(lg_ref) + bias, axis=-1)
+        # first decoded action token must match the reference pass exactly
+        np.testing.assert_array_equal(np.asarray(acts)[:, 0], tok_ref,
+                                      err_msg=f"same_length={same_len}")
