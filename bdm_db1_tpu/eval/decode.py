@@ -98,7 +98,7 @@ class ActionDecoder:
         # [B, V] bias instead of re-uploading ~2 MB per step; position ids
         # are pure functions of the prime length — cache both
         self._bias_dev_cache: Dict[int, object] = {}
-        self._pos_cache: Dict[int, np.ndarray] = {}
+        self._pos_cache: Dict[Tuple[int, int], object] = {}
 
     def _rk_for(self, qlen: int):
         if not self.use_kv_cache:
@@ -157,11 +157,15 @@ class ActionDecoder:
             if prime_images is not None:
                 prime_images = prime_images[None]
         b, q = prime_tokens.shape
-        if q not in self._pos_cache:
+        if (b, q) not in self._pos_cache:
             _, pos = action_flags_and_position_ids(
                 q, self.obs_length, self.action_length, 0)
-            self._pos_cache[q] = pos
-        pos = self._pos_cache[q]
+            # device-resident: position ids are a pure function of the
+            # prime geometry, and re-uploading them each step costs a
+            # tunnel round trip (~27 ms) in remote-TPU setups
+            self._pos_cache[(b, q)] = jnp.broadcast_to(
+                jnp.asarray(pos, jnp.int32)[None], (b, q))
+        pos = self._pos_cache[(b, q)]
         if env_action_mask is None:
             if b not in self._bias_dev_cache:
                 self._bias_dev_cache[b] = jnp.asarray(
@@ -174,7 +178,6 @@ class ActionDecoder:
                 bias = np.broadcast_to(bias, (b,) + bias.shape)
             bias_dev = jnp.asarray(bias)
         tokens = jnp.asarray(prime_tokens, jnp.int32)
-        pos = jnp.broadcast_to(jnp.asarray(pos, jnp.int32)[None], (b, q))
         images = (jnp.asarray(prime_images, jnp.float32)
                   if prime_images is not None else None)
         # long no-image primes run through the ring in <=_PRIME_CHUNK
