@@ -182,6 +182,18 @@ class RLTokenizerSuite:
         bins = self.layout.decode_continuous(tokens)
         return self.scalar.decode_np(bins, is_action=True)
 
+    def decode_action_batch(self, tokens: np.ndarray, discrete: bool):
+        """Vectorized :meth:`decode_action` over ``[B, action_length]`` token
+        rows -> ``[B]`` ints (discrete) or ``[B, action_length]`` float
+        actions. Row-wise identical to B single calls (the ops are
+        elementwise); the lockstep cohort uses this so the whole batch's
+        action decode is a handful of numpy ops instead of B Python loops."""
+        tokens = np.asarray(tokens)
+        if discrete:
+            return self.layout.decode_discrete(tokens)[:, 0].astype(np.int64)
+        bins = self.layout.decode_continuous(tokens)
+        return self.scalar.decode_np(bins, is_action=True)
+
 
 # ---------------------------------------------------------------------------
 # trajectory storage

@@ -264,15 +264,16 @@ class _LockstepCohort:
         self.action_mask = (np.stack([s.mask for s in states])
                             if states[0].mask is not None else None)
         # per-slot [obs || sep] / image / mask replayed once a slot
-        # finishes; initialized from the reset state so pre-finished
-        # padding slots have a valid replay from the first harvest
+        # finishes, held as whole-batch arrays so the per-step update is a
+        # row assignment, not a B-way Python stack; initialized from the
+        # reset state so pre-finished padding slots have a valid replay
+        # from the first harvest
         obs_sep = envs[0].obs_length + 1
-        self.last_tokens: List[np.ndarray] = [
-            s.prime[-obs_sep:] for s in states]
-        self.last_imgs: List[Optional[np.ndarray]] = [
-            s.obs_img for s in states]
-        self.last_masks: List[Optional[np.ndarray]] = [
-            s.mask for s in states]
+        self.last_tokens = np.stack([s.prime[-obs_sep:] for s in states])
+        self.last_imgs = (np.stack([s.obs_img for s in states])
+                          if states[0].obs_img is not None else None)
+        self.last_masks = (np.stack([s.mask for s in states])
+                           if states[0].mask is not None else None)
         self.mems = decoder.init_mems(b)
         self.returns = np.zeros(b)
         self.lengths = np.zeros(b, dtype=np.int64)
@@ -286,38 +287,63 @@ class _LockstepCohort:
             env_action_mask=self.action_mask)
 
     def harvest_and_step(self) -> bool:
-        """Block on the pending actions, step live envs; True when all done."""
+        """Block on the pending actions, step live envs; True when all done.
+
+        The host work here is the production eval loop's serial section
+        (~8 ms/action when done per env, PERFORMANCE.md): action decode and
+        observation tokenization run as whole-batch numpy array ops; only
+        ``env.step`` itself (and the action-mask fetch) stays per env.
+        """
         act_tokens = np.asarray(self._pending)
         self._pending = None
-        next_tokens, next_imgs, next_masks = [], [], []
-        for i, env in enumerate(self.envs):
-            if self.done[i]:
-                next_tokens.append(self.last_tokens[i])
-                next_imgs.append(self.last_imgs[i])
-                next_masks.append(self.last_masks[i])
-                continue
-            action = env.tok.decode_action(
-                act_tokens[i], env.discrete_action)
-            obs, img, mask, reward, d, _ = env.step(action)
-            self.returns[i] += reward
-            self.lengths[i] += 1
-            self.done[i] = d
-            if (self.max_step_size is not None
-                    and self.lengths[i] >= self.max_step_size):
-                self.done[i] = True
-            self.last_tokens[i] = np.concatenate([obs, self._sep])
-            self.last_imgs[i] = img
-            self.last_masks[i] = mask
-            next_tokens.append(self.last_tokens[i])
-            next_imgs.append(img)
-            next_masks.append(mask)
+        live = np.flatnonzero(~self.done)
+        if live.size == 0:
+            return True
+        env0 = self.envs[int(live[0])]
+        actions = env0.tok.decode_action_batch(
+            act_tokens, env0.discrete_action)
+        raws, rewards, dones, masks = [], [], [], []
+        for i in live:
+            env = self.envs[i]
+            a = int(actions[i]) if env.discrete_action else actions[i]
+            raw, reward, d, _, mask = env.step_raw(a)
+            raws.append(raw)
+            rewards.append(reward)
+            dones.append(d)
+            masks.append(mask)
+        self.returns[live] += np.asarray(rewards, np.float64)
+        self.lengths[live] += 1
+        done_now = np.asarray(dones, dtype=bool)
+        if self.max_step_size is not None:
+            done_now |= self.lengths[live] >= self.max_step_size
+        self.done[live] = done_now
+        # batch-tokenize the stepped observations, grouped by dataset: a
+        # cohort may mix env names whose datasets post-process differently
+        # (fresh arrays each step — the previous ones may still back an
+        # in-flight device transfer from dispatch())
+        tok_new = self.last_tokens.copy()
+        img_new = self.last_imgs.copy() if self.last_imgs is not None else None
+        mask_new = (self.last_masks.copy()
+                    if self.last_masks is not None else None)
+        groups: Dict[int, List[int]] = {}
+        for j, i in enumerate(live):
+            groups.setdefault(id(self.envs[i].ds), []).append(j)
+        for idxs in groups.values():
+            rows = live[idxs]
+            obs_tok, img = self.envs[int(rows[0])].encode_obs_batch(
+                [raws[j] for j in idxs])
+            tok_new[rows, :-1] = obs_tok
+            tok_new[rows, -1] = self._sep[0]
+            if img_new is not None:
+                img_new[rows] = img[:, None]
+        if mask_new is not None:
+            mask_new[live] = np.stack(masks)
+        self.last_tokens, self.last_imgs = tok_new, img_new
+        self.last_masks = mask_new
         if self.done.all():
             return True
-        self.prime = np.stack(next_tokens)
-        self.prime_img = (np.stack(next_imgs)
-                          if next_imgs[0] is not None else None)
-        self.action_mask = (np.stack(next_masks)
-                            if next_masks[0] is not None else None)
+        self.prime, self.prime_img = tok_new, img_new
+        self.action_mask = mask_new
         return False
 
     def results(self) -> List[EpisodeResult]:

@@ -51,10 +51,41 @@ class TokenizedEnv:
             image = np.transpose(image.astype(np.float32), (0, 2, 3, 1))
         return tokens, image
 
-    def _dummy_action(self) -> np.ndarray:
+    def encode_obs_batch(
+        self, raw_obs_list
+    ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        """Tokenize B raw observations in ONE vectorized pass.
+
+        The per-timestep dataset encoders (mu-law discretize, discrete
+        offset, text pad, image passthrough) are elementwise over the
+        leading axis, so B observations stacked along it tokenize
+        bit-identically to B :meth:`encode_obs` calls (parity covered by
+        tests/test_batched_eval.py). This is the lockstep cohort's host-side
+        hot path: one numpy pipeline per device step instead of B.
+
+        Returns (tokens [B, obs_length] with -1 image slots,
+        images [B, H, W, C] or None).
+        """
+        b = len(raw_obs_list)
+        first = raw_obs_list[0]
+        if isinstance(first, dict):
+            obs = {k: np.stack([np.asarray(r[k]) for r in raw_obs_list])
+                   for k in sorted(first)}
+        else:
+            obs = np.stack([np.asarray(r) for r in raw_obs_list])
+        (o_text, o_image, o_tensor), _ = self.ds.postprocess_obs_and_act(
+            obs, self._dummy_action(b))
+        obs_tok, image = self.ds.assemble_obs_tokens(o_text, o_image, o_tensor)
+        assert obs_tok.shape == (b, self.obs_length), (
+            obs_tok.shape, (b, self.obs_length))
+        if image is not None:
+            image = np.transpose(image.astype(np.float32), (0, 2, 3, 1))
+        return obs_tok, image
+
+    def _dummy_action(self, b: int = 1) -> np.ndarray:
         if self.discrete_action:
-            return np.zeros((1,), dtype=np.int64)
-        return np.zeros((1,) + self.action_space.shape, dtype=np.float32)
+            return np.zeros((b,), dtype=np.int64)
+        return np.zeros((b,) + self.action_space.shape, dtype=np.float32)
 
     # -- gym surface ------------------------------------------------------------
     def reset(self):
@@ -66,6 +97,13 @@ class TokenizedEnv:
         raw, reward, done, info = self.env.step(action)
         tokens, image = self.encode_obs(raw)
         return tokens, image, self.current_action_mask(), reward, done, info
+
+    def step_raw(self, action):
+        """``env.step`` without tokenization — the lockstep cohort steps
+        every env first, then tokenizes the whole batch of raw observations
+        in one :meth:`encode_obs_batch` call."""
+        raw, reward, done, info = self.env.step(action)
+        return raw, reward, done, info, self.current_action_mask()
 
     def current_action_mask(self) -> Optional[np.ndarray]:
         if hasattr(self.env, "get_cur_action_mask"):

@@ -71,16 +71,27 @@ def main() -> None:
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--warmup", type=int, default=3)
-    ap.add_argument("--batch", type=int, default=40,
-                    help="envs decoded per device call (lockstep batch; "
-                         "40 is the bf16 sweet spot at 1.2B on one v5e — "
-                         "142.6 actions/s, 48 exceeds HBM by ~1.1 GB; "
-                         "--cache-dtype int8 fits larger batches)")
-    ap.add_argument("--mode", choices=["eval", "train", "both"],
+    ap.add_argument("--batch", type=int, default=None,
+                    help="envs decoded per device call (lockstep batch). "
+                         "Default: 40 for --geometry mujoco (the bf16 "
+                         "sweet spot at 1.2B on one v5e — 142.6 actions/s, "
+                         "48 exceeds HBM by ~1.1 GB), 24 for atari (the "
+                         "per-step vision encode + frame uploads add HBM "
+                         "pressure); --cache-dtype int8 fits larger batches)")
+    ap.add_argument("--mode", choices=["eval", "train", "both", "production"],
                     default="both",
-                    help="eval: RL actions/sec; train: pretrain "
-                         "tokens/sec/chip + MFU; both (default): train "
-                         "line first, eval headline line last")
+                    help="eval: RL actions/sec (device-only loop); train: "
+                         "pretrain tokens/sec/chip + MFU; production: "
+                         "end-to-end evaluate_envs_lockstep wall clock; "
+                         "both (default): train line, production line, "
+                         "then the eval headline line last")
+    ap.add_argument("--geometry", choices=["mujoco", "atari"],
+                    default="mujoco",
+                    help="eval env geometry: mujoco = HalfCheetah (obs 17 "
+                         "float tokens, 6 continuous action dims); atari = "
+                         "image obs (80x80 RGB -> 25 patch tokens, 18 "
+                         "discrete actions) — what most of the 870 tasks "
+                         "look like (atari/procgen/dmlab/babyai)")
     ap.add_argument("--micro", type=int, default=4,
                     help="train mode: per-chip micro batch size")
     ap.add_argument("--remat-policy", default="dots",
@@ -104,23 +115,54 @@ def main() -> None:
 
     if args.mode in ("train", "both"):
         bench_train(args)
+    if args.mode in ("production", "both"):
+        bench_production(args)
+    if args.mode == "both" and args.geometry == "mujoco":
+        # image-geometry line (most of the 870 tasks are image suites);
+        # printed before the mujoco headline so the final line stays the
+        # headline metric drivers parse. An explicit --batch is a
+        # mujoco-tuned knob — the atari pass keeps its own safe default
+        # (40 would OOM under the per-step vision encode + frame uploads).
+        import copy
+
+        atari_args = copy.copy(args)
+        atari_args.batch = None
+        bench_eval(atari_args, geometry="atari")
     if args.mode in ("eval", "both"):
         bench_eval(args)
 
 
-def bench_eval(args) -> None:
+def _force_cpu_smoke():
+    import os
+
     import jax
 
+    os.environ.setdefault(
+        "XLA_FLAGS", "--xla_force_host_platform_device_count=1")
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
+
+def _default_eval_batch(args, geometry: str) -> int:
     if args.smoke:
-        import os
+        return 2
+    if args.batch is not None:
+        return max(1, args.batch)
+    return 40 if geometry == "mujoco" else 24
 
-        os.environ.setdefault(
-            "XLA_FLAGS", "--xla_force_host_platform_device_count=1")
-        try:
-            jax.config.update("jax_platforms", "cpu")
-        except Exception:
-            pass
 
+def _eval_setup(args, n_envs: int, episode_len: int, geometry: str):
+    """Model + params + tokenized fake envs for one eval geometry.
+
+    mujoco: HalfCheetah (obs 17 float tokens + 6 continuous action dims,
+    reference: scripts/evaluate/evaluate_rl_1.2B.sh config #1).
+    atari: image observations (80x80 RGB -> 25 patch tokens at patch 16)
+    with 18 discrete actions — the geometry of most of the 870 tasks
+    (atari/procgen/dmlab/babyai are image suites, evaluate_rl_1.2B.sh:51-60).
+    """
+    import jax
     import jax.numpy as jnp
 
     from bdm_db1_tpu.core.config import db1_1p2b, db1_tiny
@@ -128,9 +170,7 @@ def bench_eval(args) -> None:
     from bdm_db1_tpu.data.rl_dataset import (
         RLFullDataset, RLTokenizerSuite, TrajectoryStore,
     )
-    from bdm_db1_tpu.eval.decode import build_decoder_for_env
-    from bdm_db1_tpu.eval.envs import FakeContinuousEnv
-    from bdm_db1_tpu.eval.harness import run_episode
+    from bdm_db1_tpu.eval.envs import FakeContinuousEnv, FakeImageEnv
     from bdm_db1_tpu.eval.wrapper import TokenizedEnv
     from bdm_db1_tpu.models.transformer_xl import TransformerXL
     from bdm_db1_tpu.tokenizers.scalar import ScalarTokenizer
@@ -139,71 +179,161 @@ def bench_eval(args) -> None:
     if args.smoke:
         cfg = db1_tiny()
         cfg.model.dtype = "float32"
-        obs_dim, act_dim = 4, 2
-        episode_len = max(args.steps, 4)
     else:
         cfg = db1_1p2b()
         cfg.model.param_dtype = "bfloat16"
-        obs_dim, act_dim = 17, 6  # HalfCheetah geometry (BASELINE config #1)
-        episode_len = args.warmup + args.steps
     cfg.model.decode_cache_dtype = args.cache_dtype
 
-    B = max(1, args.batch if not args.smoke else 2)
+    if geometry == "mujoco":
+        obs_dim, act_dim = (4, 2) if args.smoke else (17, 6)
+
+        def env_fn(seed):
+            return FakeContinuousEnv(obs_dim=obs_dim, act_dim=act_dim,
+                                     episode_len=episode_len, seed=seed)
+    else:
+        hw = 2 * cfg.vision.patch_size if args.smoke else 80
+        n_act = 4 if args.smoke else 18
+
+        def env_fn(seed):
+            return FakeImageEnv(hw=hw, n_actions=n_act,
+                                episode_len=episode_len, seed=seed)
+
     layout = cfg.vocab.layout()
     suite = RLTokenizerSuite(
         layout, ScalarTokenizer(cfg.vocab.num_continuous_bin),
         ByteTextTokenizer(), vision_patch_size=cfg.vision.patch_size)
-    base_env = FakeContinuousEnv(obs_dim=obs_dim, act_dim=act_dim,
-                                 episode_len=episode_len)
-    store = TrajectoryStore.from_flat_dataset(base_env.make_dataset(3))
-    ds = RLFullDataset("halfcheetah-geometry", store, suite,
+    store = TrajectoryStore.from_flat_dataset(env_fn(999).make_dataset(3))
+    ds = RLFullDataset(f"{geometry}-geometry", store, suite,
                        seq_length=cfg.model.n_position, use_prompt=True,
                        seed=0)
-    tenvs = [
-        TokenizedEnv(FakeContinuousEnv(obs_dim=obs_dim, act_dim=act_dim,
-                                       episode_len=episode_len, seed=i), ds)
-        for i in range(B)
-    ]
+    tenvs = [TokenizedEnv(env_fn(i), ds) for i in range(n_envs)]
 
     model = TransformerXL(cfg.model, cfg.vocab, cfg.vision)
     L = cfg.model.n_position
     tok = jnp.zeros((1, L), jnp.int32)
-    init_batch = {"rl": RLTaskBatch(tokens=tok, position_id=tok,
-                                    loss_mask=tok, label=tok)}
+    init_kw = {}
+    if geometry == "atari":  # a -1 slot + frame so the vision tower inits
+        tok = tok.at[0, 0].set(-1)
+        hw0 = tenvs[0].env.hw
+        init_kw["images"] = jnp.zeros((1, 1, hw0, hw0, 3), jnp.float32)
+    init_batch = {"rl": RLTaskBatch(tokens=tok, position_id=jnp.abs(tok),
+                                    loss_mask=jnp.abs(tok),
+                                    label=jnp.abs(tok), **init_kw)}
     params = model.init(jax.random.PRNGKey(0), init_batch)["params"]
+    return cfg, model, params, ds, tenvs, env_fn
+
+
+def bench_eval(args, geometry=None) -> None:
+    """Device-path actions/sec: B lockstep envs driven manually so the
+    steady-state device call is what's timed (host env stepping excluded)."""
+    if args.smoke:
+        _force_cpu_smoke()
+
+    from bdm_db1_tpu.eval.decode import build_decoder_for_env
+
+    geometry = geometry or args.geometry
+    episode_len = max(args.steps, 4) if args.smoke \
+        else args.warmup + args.steps
+    B = _default_eval_batch(args, geometry)
+    cfg, model, params, ds, tenvs, _ = _eval_setup(
+        args, B, episode_len, geometry)
     decoder = build_decoder_for_env(model, params, tenvs[0])
 
     # -- drive B lockstep envs manually so we can time steady-state steps --
     rng = np.random.RandomState(0)
     sep = np.array([tenvs[0].separator_id], dtype=np.int64)
-    primes = []
+    primes, prime_imgs = [], []
     for te in tenvs:
-        prompt, _ = te.get_prompt(strict_length=True, rng=rng)
-        obs_tokens, _, _ = te.reset()
+        prompt, pimg = te.get_prompt(strict_length=True, rng=rng)
+        obs_tokens, oimg, _ = te.reset()
         primes.append(np.concatenate([prompt, obs_tokens, sep]))
+        if pimg is not None:
+            prime_imgs.append(np.concatenate([pimg, oimg], axis=0))
     prime = np.stack(primes)
+    prime_img = np.stack(prime_imgs) if prime_imgs else None
     mems = decoder.init_mems(B)
 
     times = []
     for step_i in range(episode_len):
         t0 = time.perf_counter()
-        act_tokens, mems = decoder.decode(prime, mems)
+        act_tokens, mems = decoder.decode(prime, mems,
+                                          prime_images=prime_img)
         act_tokens = np.asarray(act_tokens)  # block on device
         dt = time.perf_counter() - t0
-        nxt = []
+        acts = tenvs[0].tok.decode_action_batch(
+            act_tokens, tenvs[0].discrete_action)
+        raws = []
         for i, te in enumerate(tenvs):
-            action = te.tok.decode_action(act_tokens[i], te.discrete_action)
-            obs_tokens, _, _, _, _, _ = te.step(action)
-            nxt.append(np.concatenate([obs_tokens, sep]))
-        prime = np.stack(nxt)
+            a = int(acts[i]) if te.discrete_action else acts[i]
+            raw, _, _, _, _ = te.step_raw(a)
+            raws.append(raw)
+        obs_tok, obs_img = tenvs[0].encode_obs_batch(raws)
+        prime = np.concatenate(
+            [obs_tok, np.broadcast_to(sep, (B, 1))], axis=1)
+        prime_img = None if obs_img is None else obs_img[:, None]
         if step_i >= args.warmup:
             times.append(dt)
 
     mean_dt = float(np.mean(times))
     actions_per_sec = B / mean_dt
+    suffix = "" if geometry == "mujoco" else f"_{geometry}"
     print(json.dumps({
-        "metric": "rl_eval_actions_per_sec_1p2b"
-        if not args.smoke else "rl_eval_actions_per_sec_smoke",
+        "metric": (f"rl_eval_actions_per_sec_1p2b{suffix}"
+                   if not args.smoke
+                   else f"rl_eval_actions_per_sec_smoke{suffix}"),
+        "value": round(actions_per_sec, 3),
+        "unit": "actions/sec",
+        "vs_baseline": round(
+            actions_per_sec / A100_BASELINE_ACTIONS_PER_SEC, 3),
+    }), flush=True)
+
+
+def bench_production(args) -> None:
+    """End-to-end wall clock of the production CLI path: 48 envs through
+    evaluate_envs_lockstep (geometry bucketing, prompt sampling, cohort
+    interleave, padding, vectorized host tokenize, real env stepping) —
+    the workload of reference evaluate_rl.py:452-541. This is the number
+    the driver records as what the CLI actually delivers (r2 VERDICT
+    missing #2)."""
+    if args.smoke:
+        _force_cpu_smoke()
+
+    from bdm_db1_tpu.eval.harness import evaluate_envs_lockstep
+
+    n_envs = 8 if args.smoke else 48
+    episode_len = 4 if args.smoke else max(args.steps, 40)
+    cfg, model, params, ds, tenvs, env_fn = _eval_setup(
+        args, 1, episode_len, args.geometry)
+    from bdm_db1_tpu.eval.wrapper import TokenizedEnv
+
+    def make_tenv(name):
+        return TokenizedEnv(env_fn(int(name.split("-")[-1])), ds)
+
+    from bdm_db1_tpu.eval.decode import DecoderPool
+
+    names = [f"bench-{i}" for i in range(n_envs)]
+    bs = 4 if args.smoke else 24
+    # one pool across both passes: the warm pass triggers the AOT compiles
+    # AND the jit traces; a fresh pool per call would re-trace the 1.2B
+    # decode programs inside the timed pass (tens of seconds of pure
+    # Python tracing that the production CLI — one pool per run — never
+    # pays per episode wave)
+    pool = DecoderPool(model, params)
+    evaluate_envs_lockstep(model, params, names, make_tenv, num_trials=1,
+                           seed=100, batch_size=bs, interleave=2,
+                           decoder_pool=pool)
+    t0 = time.perf_counter()
+    res = evaluate_envs_lockstep(model, params, names, make_tenv,
+                                 num_trials=1, seed=101, batch_size=bs,
+                                 interleave=2, decoder_pool=pool)
+    dt = time.perf_counter() - t0
+    total_actions = sum(r["length_mean"] * r["num_trials"] for r in res)
+    actions_per_sec = total_actions / dt
+    suffix = "" if args.geometry == "mujoco" else f"_{args.geometry}"
+    print(json.dumps({
+        "metric": (f"rl_eval_actions_per_sec_production_1p2b{suffix}"
+                   if not args.smoke
+                   else f"rl_eval_actions_per_sec_production_smoke{suffix}"),
         "value": round(actions_per_sec, 3),
         "unit": "actions/sec",
         "vs_baseline": round(
@@ -306,13 +436,18 @@ def bench_train(args) -> None:
     # (~16k tok/s/GPU); vs_baseline therefore mostly reflects the v5e:A100
     # peak-FLOPs ratio (0.63) — compare mfu for an apples-to-apples view.
     baseline = 16000.0
+    baseline_mfu = 0.40
     print(json.dumps({
         "metric": "pretrain_tokens_per_sec_per_chip_1p2b"
         if not args.smoke else "pretrain_tokens_per_sec_per_chip_smoke",
         "value": round(tps_chip, 1),
         "unit": "tokens/sec/chip",
+        # raw-throughput ratio vs the A100 estimate: dominated by the
+        # v5e:A100 peak-FLOPs ratio (197/312 = 0.63); mfu_vs_baseline is
+        # the apples-to-apples utilization comparison (ours/0.40)
         "vs_baseline": round(tps_chip / baseline, 3),
         "mfu": round(mfu, 3),
+        "mfu_vs_baseline": round(mfu / baseline_mfu, 3),
         "n_params": n_params,
         "flops_per_token_fwd": round(fwd_ft),
     }), flush=True)

@@ -277,3 +277,99 @@ def test_chunked_prime_exactness_and_causal_gate():
         # first decoded action token must match the reference pass exactly
         np.testing.assert_array_equal(np.asarray(acts)[:, 0], tok_ref,
                                       err_msg=f"same_length={same_len}")
+
+
+def test_image_chunk_plan_math():
+    """Transition-aligned slicing: sizes cover the prime, frames cover the
+    prompt+reset observations, refusals on non-boundary shapes."""
+    from bdm_db1_tpu.eval.decode import ActionDecoder, _prime_chunk
+
+    cfg = db1_tiny()
+    cfg.model.dtype = "float32"
+    model = TransformerXL(cfg.model, cfg.vocab, cfg.vision)
+    layout = cfg.vocab.layout()
+    L = cfg.model.n_position
+    tok0 = jnp.zeros((1, L), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), {"rl": RLTaskBatch(
+        tokens=tok0, position_id=tok0, loss_mask=tok0, label=tok0)})["params"]
+    dec = ActionDecoder(model, params, layout, obs_length=4,
+                        action_length=1, discrete_action=True, num_actions=4)
+    step, tail = 6, 5
+    chunk = _prime_chunk(cfg.model)  # 32 on tiny
+    for T in (5, 6, 11):
+        q = T * step + tail
+        plan = dec._image_chunk_plan(q, T + 1)
+        assert plan is not None, T
+        sizes, frames = plan
+        assert sum(sizes) == q and sum(frames) == T + 1
+        assert all(s <= chunk for s in sizes)
+        # every slice is whole transitions (+ optionally the obs||sep tail)
+        for s in sizes:
+            assert s % step == 0 or (s - tail) % step == 0
+    # refusals: non-boundary prime, frame-count mismatch, giant transition
+    assert dec._image_chunk_plan(6 * step + tail + 1, 7) is None
+    assert dec._image_chunk_plan(6 * step + tail, 9) is None
+    big = ActionDecoder(model, params, layout, obs_length=40,
+                        action_length=1, discrete_action=True, num_actions=4)
+    assert big._image_chunk_plan(2 * 42 + 41, 3) is None
+
+
+def test_chunked_image_prime_matches_one_shot():
+    """An Atari-geometry (image obs, discrete action) expert prime longer
+    than mem_len decodes identically through the new transition-aligned
+    chunked ring path and the old realign/window-slide fallback
+    (VERDICT r2 next #2 'Done =' parity test)."""
+    from bdm_db1_tpu.eval.decode import ActionDecoder, _prime_chunk
+
+    cfg = db1_tiny()
+    cfg.model.dtype = "float32"
+    model = TransformerXL(cfg.model, cfg.vocab, cfg.vision)
+    layout = cfg.vocab.layout()
+    p = cfg.vision.patch_size
+    hw = 2 * p  # 4 patches -> image obs of 4 tokens
+    L = cfg.model.n_position
+    tok0 = jnp.zeros((1, L), jnp.int32).at[0, 0].set(-1)
+    zeros = jnp.zeros((1, L), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), {"rl": RLTaskBatch(
+        tokens=tok0, position_id=zeros, loss_mask=zeros, label=zeros,
+        images=jnp.zeros((1, 1, hw, hw, 3), jnp.float32))})["params"]
+
+    obs_len, act_len, n_act = 4, 1, 4
+    step, tail = obs_len + act_len + 1, obs_len + 1
+    T = 6
+    q = T * step + tail
+    assert q > _prime_chunk(cfg.model) and q > cfg.model.mem_len
+
+    rng = np.random.RandomState(0)
+    sep = layout.separator_id
+    row = []
+    for _ in range(T):
+        row.extend([-1] * obs_len
+                   + [sep, layout.discrete_offset + rng.randint(n_act)])
+    row.extend([-1] * obs_len + [sep])
+    prime = np.tile(np.array(row, np.int64), (2, 1))
+    imgs = rng.rand(2, T + 1, hw, hw, 3).astype(np.float32)
+
+    def fresh():
+        return ActionDecoder(model, params, layout, obs_length=obs_len,
+                             action_length=act_len, discrete_action=True,
+                             num_actions=n_act)
+
+    dec_c = fresh()
+    assert dec_c._image_chunk_plan(q, T + 1) is not None
+    acts_c, mems_c = dec_c.decode(prime, dec_c.init_mems(2),
+                                  prime_images=imgs)
+
+    dec_o = fresh()
+    dec_o._image_chunk_plan = lambda q_, f_: None  # force the fallback
+    acts_o, mems_o = dec_o.decode(prime, dec_o.init_mems(2),
+                                  prime_images=imgs)
+    np.testing.assert_array_equal(np.asarray(acts_c), np.asarray(acts_o))
+
+    # a follow-up env step from both caches agrees too (the ring cursor
+    # state and the realigned cache encode the same history)
+    nxt = np.tile(np.array([-1] * obs_len + [sep], np.int64), (2, 1))
+    nimg = rng.rand(2, 1, hw, hw, 3).astype(np.float32)
+    a2_c, _ = dec_c.decode(nxt, mems_c, prime_images=nimg)
+    a2_o, _ = dec_o.decode(nxt, mems_o, prime_images=nimg)
+    np.testing.assert_array_equal(np.asarray(a2_c), np.asarray(a2_o))
