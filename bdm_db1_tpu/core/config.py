@@ -42,6 +42,8 @@ class VisionConfig:
     patch_size: int = 16
     position_vocab_size: int = 128
     hidden_dropout_prob: float = 0.5
+    # IC/VQA input resolution (reference vit_dataset.py transform stacks)
+    image_size: int = 224
 
 
 @dataclass
@@ -119,6 +121,10 @@ class MeshConfig:
     # pipeline microbatches per (grad-accum) micro step; -1 -> 2 * stages
     pipeline_microbatches: int = -1
     axis_names: Tuple[str, str] = ("data", "model")
+    # multi-controller bootstrap: None = auto-detect from the launcher's
+    # environment (SLURM/OpenMPI/TPU-pod vars, parallel/distributed.py),
+    # True = force jax.distributed.initialize(), False = never
+    multihost: Optional[bool] = None
 
 
 @dataclass
@@ -205,6 +211,11 @@ class EvalConfig:
     # cohorts pipelined per geometry bucket: host env stepping of one
     # cohort overlaps device decode of the others (eval/harness.py)
     interleave: int = 2
+    # in-training IC/VQA cadence (reference: train.py:173-207 runs
+    # caption/VQA metrics from the train loop): samples scored per valid
+    # dataset at each eval tick; 0 disables the hook
+    ic_vqa_num_samples: int = 64
+    ic_vqa_batch_size: int = 8
 
 
 @dataclass

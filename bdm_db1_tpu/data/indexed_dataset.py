@@ -196,6 +196,21 @@ class IndexedDataset:
             self.sizes = np.frombuffer(f.read(8 * self._s), dtype=np.int64)
             self.doc_idx = np.frombuffer(
                 f.read(8 * self._doc_count), dtype=np.int64)
+            # Layout validation: a pre-doc_idx .idx (one historical revision
+            # of this repo omitted doc_count/doc_idx) parses "successfully"
+            # with every section shifted 8 bytes — fail loudly instead.
+            # A well-formed file has offsets anchored at 0 and nothing
+            # after the doc_idx block.
+            if (len(self.dim_offsets) != self._len + 1
+                    or self.dim_offsets[0] != 0
+                    or self.data_offsets[0] != 0
+                    or len(self.doc_idx) != self._doc_count
+                    or f.read(1) != b""):
+                raise ValueError(
+                    f"{index_file_path(prefix)}: TNTIDX header does not "
+                    "match the doc_idx layout (truncated file, or an index "
+                    "written by a pre-doc_idx revision of this repo) — "
+                    "regenerate the index")
         self._file = None
 
     def _ensure_open(self):

@@ -60,3 +60,44 @@ def load_results_output(path: str) -> List[Dict]:
                 except json.JSONDecodeError:
                     continue
     return out
+
+
+def main(argv: Optional[List[str]] = None) -> Dict[str, float]:
+    """CLI: results.output + a baselines source -> the headline summary.
+
+        python -m bdm_db1_tpu.eval.aggregate results.output \
+            --baselines baselines.json [--d4rl] [--threshold 0.5]
+
+    Produces the reference's README headline ("fraction of tasks >= 50%%
+    expert", reference: README.md:8) from the records evaluate_rl writes
+    (scripts/evaluate/evaluate_rl_1.2B.sh:91 tees them). ``--d4rl`` pulls
+    d4rl's published ref_min/ref_max scores first; ``--baselines`` JSON
+    entries override them.
+    """
+    import argparse
+
+    from bdm_db1_tpu.eval.baselines import BaselineRegistry
+
+    ap = argparse.ArgumentParser("bdm-db1-tpu aggregate")
+    ap.add_argument("results", help="results.output path (JSON lines)")
+    ap.add_argument("--baselines", default=None,
+                    help="JSON file: {env: {random, expert}}")
+    ap.add_argument("--d4rl", action="store_true",
+                    help="seed the registry from d4rl ref_min/ref_max")
+    ap.add_argument("--threshold", type=float, default=0.5)
+    args = ap.parse_args(argv)
+
+    reg = BaselineRegistry()
+    if args.d4rl:
+        reg = reg.merge(BaselineRegistry.from_d4rl())
+    if args.baselines:
+        reg = reg.merge(BaselineRegistry.from_json(args.baselines))
+    summary = aggregate_results(
+        load_results_output(args.results), reg.table,
+        threshold=args.threshold)
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    main()

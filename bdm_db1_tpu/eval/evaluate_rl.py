@@ -82,8 +82,9 @@ def _random_params(cfg: DB1Config, model: TransformerXL):
 
 def main(cfg: Optional[DB1Config] = None) -> List[dict]:
     cfg = cfg or DB1Config.from_cli()
-    if jax.process_count() > 1:  # pragma: no cover
-        jax.distributed.initialize()
+    from bdm_db1_tpu.parallel.distributed import maybe_initialize_distributed
+
+    maybe_initialize_distributed(force=cfg.mesh.multihost)
 
     model = TransformerXL(cfg.model, cfg.vocab, cfg.vision)
     params = load_params(cfg, model)

@@ -104,8 +104,9 @@ def group_by_modality(train_ds) -> Dict[str, object]:
 
 def main(cfg: Optional[DB1Config] = None) -> None:
     cfg = cfg or DB1Config.from_cli()
-    if jax.process_count() > 1:  # pragma: no cover — multi-host only
-        jax.distributed.initialize()
+    from bdm_db1_tpu.parallel.distributed import maybe_initialize_distributed
+
+    maybe_initialize_distributed(force=cfg.mesh.multihost)
 
     print_rank_0(f"devices: {len(jax.devices())} x "
                  f"{jax.devices()[0].platform}")
@@ -133,9 +134,11 @@ def main(cfg: Optional[DB1Config] = None) -> None:
         eos = tok.text_tokenizer.eos_token_id
         register_creator("ic", make_ic_creator(
             n_position=cfg.model.n_position,
+            image_size=cfg.vision.image_size,
             patch_size=cfg.vision.patch_size, eos_token_id=eos))
         register_creator("vqa", make_vqa_creator(
             n_position=cfg.model.n_position,
+            image_size=cfg.vision.image_size,
             patch_size=cfg.vision.patch_size, eos_token_id=eos))
 
     n_train = cfg.train.train_iters * cfg.train.global_batch_size
@@ -190,6 +193,32 @@ def main(cfg: Optional[DB1Config] = None) -> None:
                     max_step_size=cfg.eval.max_step_size)
                 out[f"return/{name}"] = res["return_mean"]
                 out[f"length/{name}"] = res["length_mean"]
+        # in-training IC/VQA metrics on the (unblended) valid splits
+        # (reference: train.py:24-25, 173-207 runs caption/VQA eval from
+        # the train loop at the eval cadence)
+        n_icvqa = cfg.eval.ic_vqa_num_samples
+        if n_icvqa and valid_no_blend and jax.process_index() == 0:
+            layout = cfg.vocab.layout()
+            eos = tok.text_tokenizer.eos_token_id
+            for i, ds in enumerate(valid_no_blend.get("ic", [])):
+                from bdm_db1_tpu.eval.evaluate_ic import evaluate_ic
+
+                metrics = evaluate_ic(
+                    model, state.params, ds, layout, eos,
+                    num_samples=n_icvqa,
+                    batch_size=cfg.eval.ic_vqa_batch_size)
+                for k, v in metrics.items():
+                    out[f"ic{i}/{k}"] = v
+            for i, ds in enumerate(valid_no_blend.get("vqa", [])):
+                from bdm_db1_tpu.eval.evaluate_vqa import evaluate_vqa
+
+                metrics = evaluate_vqa(
+                    model, state.params, ds, layout, eos,
+                    text_tokenizer=tok.text_tokenizer,
+                    num_samples=n_icvqa,
+                    batch_size=cfg.eval.ic_vqa_batch_size)
+                for k, v in metrics.items():
+                    out[f"vqa{i}/{k}"] = v
         return out
 
     logger = MetricLogger(cfg.train.save_dir, cfg.train.tensorboard_dir)

@@ -36,11 +36,18 @@ _BATCH_TYPES = {
 
 
 def to_gato_batch(raw: Dict[str, Dict[str, np.ndarray]]) -> Dict[str, object]:
-    """Loader output {modality: {field: array}} -> typed device batch."""
+    """Loader output {modality: {field: array}} -> typed device batch.
+    Host-side bookkeeping fields the samples carry for eval (img_id,
+    ques_id, ...) are dropped — only the task dataclass's fields go to
+    device."""
+    import dataclasses as _dc
+
     out = {}
     for m, fields in raw.items():
         cls = _BATCH_TYPES[m]
-        out[m] = cls(**{k: jnp.asarray(v) for k, v in fields.items()})
+        valid = {f.name for f in _dc.fields(cls)}
+        out[m] = cls(**{k: jnp.asarray(v) for k, v in fields.items()
+                        if k in valid})
     return out
 
 
@@ -190,7 +197,17 @@ def evaluate_loss(model, state, batches, valid_vocab=None) -> float:
     """Mean masked CE over held-out batches (reference: train.py
     evaluate_and_print_results valid-loss path), one jitted program per
     batch structure; losses stay on device until one final host fetch
-    (the tunnel costs ~27 ms per fetch — one per batch added up)."""
+    (the tunnel costs ~27 ms per fetch — one per batch added up).
+
+    Loader batches arrive as ``{modality: {field: [accum, micro, ...]}}``;
+    the model consumes one ``[micro, ...]`` slice at a time (the train path
+    scans over accum — here we just loop, eval is not throughput-bound)."""
     fn = _eval_loss_fn(model)
-    losses = [fn(state.params, to_gato_batch(raw)) for raw in batches]
+    losses = []
+    for raw in batches:
+        accum = len(next(iter(next(iter(raw.values())).values())))
+        for a in range(accum):
+            sub = {m: {k: v[a] for k, v in fields.items()}
+                   for m, fields in raw.items()}
+            losses.append(fn(state.params, to_gato_batch(sub)))
     return float(jnp.stack(losses).mean()) if losses else float("nan")

@@ -33,4 +33,5 @@ python -m bdm_db1_tpu.eval.evaluate_rl \
     --eval.prompt-strategy "stochastic_subseq;moving_prompt" \
     --eval.minimal-expert-data True \
     --eval.num-trials 5 \
+    "${@:3}" \
     | tee "${OUTPUT_DIR}/results.output"

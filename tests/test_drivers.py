@@ -71,6 +71,46 @@ def test_pretrain_main(workspace):
     assert "train/loss" in metrics
 
 
+def test_pretrain_ic_eval_tick(workspace, tmp_path):
+    """An IC dataset in the mixture triggers caption metrics at the eval
+    cadence and they land in the metric log (reference train.py:173-207;
+    VERDICT r2 next #5)."""
+    import json as _json
+
+    from bdm_db1_tpu.train.pretrain import main
+
+    cfg = _tiny_cfg(workspace)
+    hw = 2 * cfg.vision.patch_size
+    rng = np.random.RandomState(0)
+    images = [{"id": i, "file_name": f"{i}.jpg",
+               "pixels": rng.rand(3, hw, hw).astype(np.float32).tolist()}
+              for i in range(3)]
+    anns = [{"image_id": i, "caption": [10 + i, 20 + c, 30, 0]}
+            for i in range(3) for c in range(2)]
+    ann_path = tmp_path / "captions.json"
+    ann_path.write_text(_json.dumps({
+        "images": images, "annotations": anns,
+        "prompt_items": [[1, 2], [3], [4]]}))
+    cfg.vision.image_size = hw
+    cfg.data.data_path = ("0.5", str(workspace / "corpus"), "nlp",
+                          "0.5", f":{ann_path}", "ic")
+    cfg.train.train_iters = 2
+    cfg.train.global_batch_size = 8
+    cfg.train.micro_batch_size = 4
+    cfg.train.log_interval = 1
+    cfg.train.eval_interval = 2
+    cfg.train.eval_iters = 1
+    cfg.train.save_interval = 1000
+    cfg.train.save_dir = str(tmp_path / "run_ic")
+    cfg.eval.ic_vqa_num_samples = 2
+    cfg.eval.ic_vqa_batch_size = 2
+    main(cfg)
+    metrics = open(os.path.join(cfg.train.save_dir,
+                                "metrics.jsonl")).read()
+    assert "valid/ic0/CIDEr" in metrics
+    assert "valid/ic0/Bleu_1" in metrics
+
+
 def test_evaluate_rl_main(workspace):
     from bdm_db1_tpu.eval.evaluate_rl import main
 

@@ -95,6 +95,69 @@ def test_pipelined_step_matches_dp_and_shards_layers():
     assert base[1] < base[0]  # it actually learns
 
 
+def test_pipeline_dropout_distribution_matches_trunk():
+    """Statistical check (VERDICT r2 next #8): the pipelined trunk's folded
+    stage/layer/tick dropout keys produce the SAME output distribution as
+    the single-stage trunk's nn.scan split_rngs dropout — per-element means
+    over many rng draws agree within sampling error, and draws actually
+    vary. embd_pdrop is zeroed so both paths apply only in-layer dropout."""
+    cfg = _cfg(n_layer=2, dropout=0.2)
+    cfg.model.embd_pdrop = 0.0
+    cfg.mesh.data_parallel = 4
+    cfg.mesh.pipeline_parallel = 2
+    mesh = make_mesh(cfg.mesh)
+    model = TransformerXL(cfg.model, cfg.vocab, cfg.vision)
+    layout = cfg.vocab.layout()
+    batch = _batch(layout, micro=4, L=16)
+    micro = jax.tree.map(lambda x: x[0], batch)
+    params = model.init(jax.random.PRNGKey(0), micro)["params"]
+    h, _, _ = model.apply({"params": params}, micro, True,
+                          method=TransformerXL.embed_concat,
+                          with_targets=False)
+
+    pipe_fn = jax.jit(lambda key: pipeline_trunk(
+        cfg.model, params["layers"],
+        params.get("r_w_bias"), params.get("r_r_bias"),
+        h, 2, mesh, dropout_rng=key, deterministic=False))
+    trunk_fn = jax.jit(lambda key: model.apply(
+        {"params": params}, h, None, False,
+        method=TransformerXL.trunk, rngs={"dropout": key})[0])
+
+    N = 96
+    pipe_samples = np.stack(
+        [np.asarray(pipe_fn(jax.random.PRNGKey(1000 + i)))
+         for i in range(N)])
+    trunk_samples = np.stack(
+        [np.asarray(trunk_fn(jax.random.PRNGKey(5000 + i)))
+         for i in range(N)])
+    # draws vary (masks are not degenerate / keys not constant)
+    assert pipe_samples.std(axis=0).max() > 0
+    assert not np.allclose(pipe_samples[0], pipe_samples[1])
+    # per-element means agree within ~5 standard errors of the difference
+    p_mean, t_mean = pipe_samples.mean(0), trunk_samples.mean(0)
+    se = np.sqrt((pipe_samples.var(0) + trunk_samples.var(0)) / N)
+    diff = np.abs(p_mean - t_mean)
+    assert (diff <= 5 * se + 1e-4).mean() > 0.995, (
+        diff.max(), (5 * se + 1e-4).max())
+    # and the global moments line up
+    np.testing.assert_allclose(p_mean.mean(), t_mean.mean(), atol=2e-3)
+    np.testing.assert_allclose(pipe_samples.std(), trunk_samples.std(),
+                               rtol=0.05)
+
+
+def test_pipeline_dropout_keys_unique():
+    """The folded (stage, layer, tick) -> key map must be collision-free
+    over realistic pipeline extents, or two layers would share masks."""
+    seen = set()
+    n_local, S, n_micro = 12, 8, 32  # 96 layers / 8 stages, 32 microbatches
+    for stage in range(S):
+        for i in range(n_local):
+            for tick in range(n_micro + S - 1):
+                k = (stage * n_local + i) * 4096 + tick
+                assert k not in seen
+                seen.add(k)
+
+
 def test_pipeline_with_dropout_runs_and_learns():
     """Dropout path (per stage/layer/tick folded keys) compiles, runs, and
     the loss goes down over a few steps."""

@@ -115,3 +115,41 @@ def test_trainer_loop_mixed(mixed_setup):
     trainer2 = Trainer(cfg, model, step_fn, init_fn(example), loader)
     it = trainer2.maybe_resume()
     assert it == 6
+
+
+def test_evaluate_loss_accum_micro_layout():
+    """evaluate_loss consumes loader-layout batches ([accum, micro, ...])
+    one accum slice at a time — feeding the 3D/5D arrays straight into the
+    model was a latent crash for every modality (found via the r3 IC
+    eval-tick test)."""
+    import jax.numpy as jnp
+
+    from bdm_db1_tpu.data.input_specs import NLPTaskBatch
+    from bdm_db1_tpu.train.step import init_train_state
+    from bdm_db1_tpu.train.trainer import evaluate_loss
+
+    cfg = db1_tiny()
+    cfg.model.dtype = "float32"
+    model = TransformerXL(cfg.model, cfg.vocab, cfg.vision)
+    L = cfg.model.n_position
+    toks1 = jnp.ones((1, 2, L), jnp.int32)
+    init_batch = {"nlp": NLPTaskBatch(
+        tokens=toks1, loss_mask=jnp.ones_like(toks1, jnp.float32),
+        label=toks1)}
+    tx = make_optimizer(OptimizerConfig(lr=1e-3), 10)
+    state = init_train_state(model, tx, jax.random.PRNGKey(0), init_batch)
+
+    rng = np.random.RandomState(0)
+    toks = rng.randint(1, cfg.vocab.layout().total_vocab_size,
+                       (2, 2, L)).astype(np.int32)
+    raw = {"nlp": {"tokens": toks,
+                   "loss_mask": np.ones((2, 2, L), np.float32),
+                   "label": toks}}
+    loss = evaluate_loss(model, state, [raw])
+    assert np.isfinite(loss)
+    # equals the mean over the two accum slices evaluated independently
+    halves = []
+    for a in range(2):
+        sub = {"nlp": {k: v[a][None] for k, v in raw["nlp"].items()}}
+        halves.append(evaluate_loss(model, state, [sub]))
+    assert loss == pytest.approx(float(np.mean(halves)), rel=1e-6)
