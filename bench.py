@@ -1,14 +1,19 @@
 """Headline benchmarks of the 1.2B flagship on one TPU chip.
 
-Bare ``python bench.py`` emits TWO JSON lines
+Bare ``python bench.py`` emits FOUR JSON lines
 {"metric", "value", "unit", "vs_baseline", ...}:
 
   1. pretrain tokens/sec/chip with analytic-FLOPs MFU (train step:
      fwd+bwd+AdamW, Pallas attention, remat, bf16),
-  2. RL-eval decode actions/sec (the headline metric, printed LAST so
-     drivers that parse the final line keep it as the headline).
+  2. production-path RL eval actions/sec (end-to-end
+     evaluate_envs_lockstep wall clock — the number the CLI delivers),
+  3. image-geometry (atari) RL eval actions/sec,
+  4. RL-eval decode actions/sec, proprioceptive geometry (the headline
+     metric, printed LAST so drivers that parse the final line keep it
+     as the headline).
 
-``--mode eval`` / ``--mode train`` run one of the two.
+``--mode eval|train|production`` and ``--geometry mujoco|atari`` select
+subsets.
 
 Setup mirrors the reference's primary workload
 (reference: scripts/evaluate/evaluate_rl_1.2B.sh + evaluate_rl.py): a

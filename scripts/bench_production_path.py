@@ -43,20 +43,28 @@ tok = jnp.zeros((1, L), jnp.int32)
 params = model.init(jax.random.PRNGKey(0), {"rl": RLTaskBatch(
     tokens=tok, position_id=tok, loss_mask=tok, label=tok)})["params"]
 
+from bdm_db1_tpu.eval.decode import DecoderPool
+
 names = [f"fake-{i}" for i in range(48)]
+# ONE pool across every pass: a fresh pool per call re-traces the 1.2B
+# decode programs inside the timed region (tens of seconds of Python
+# tracing the production CLI never pays; cost r3 a 31.7-vs-126.4 mystery)
+pool = DecoderPool(model, params)
 # warm-up pass compiles prompt-prime + step programs (1 trial, all 48 envs)
 t0 = time.perf_counter()
 res = evaluate_envs_lockstep(model, params, names, make_tenv, num_trials=1,
-                             seed=100, batch_size=24, interleave=2)
+                             seed=100, batch_size=24, interleave=2,
+                             decoder_pool=pool)
 t_warm = time.perf_counter() - t0
 total_actions = sum(r["length_mean"] * r["num_trials"] for r in res)
 print(f"warm pass (incl. compiles): {t_warm:.1f}s", flush=True)
 
-for bs, il in ((40, 1), (24, 1), (48, 1)):
+for bs, il in ((24, 2), (40, 1), (24, 1), (48, 1)):
     t0 = time.perf_counter()
     res = evaluate_envs_lockstep(model, params, names, make_tenv,
                                  num_trials=1, seed=101 + il,
-                                 batch_size=bs, interleave=il)
+                                 batch_size=bs, interleave=il,
+                                 decoder_pool=pool)
     dt = time.perf_counter() - t0
     total_actions = sum(r["length_mean"] * r["num_trials"] for r in res)
     print(f"production b{bs} x interleave {il}: {total_actions:.0f} actions "
