@@ -185,6 +185,10 @@ class DataConfig:
     prompt_strategy: str = "stochastic_subseq;moving_prompt"
     num_workers: int = 2
     tokenizer_save_path: Optional[str] = None
+    # few-shot RL finetuning: restrict each RL train split to samples from
+    # the first N trajectories (reference: train_config.py:432-440
+    # --num-rl-fewshot_episodes -> RLFinetuneDataset)
+    num_rl_fewshot_episodes: Optional[int] = None
 
 
 @dataclass
@@ -216,6 +220,12 @@ class EvalConfig:
     # dataset at each eval tick; 0 disables the hook
     ic_vqa_num_samples: int = 64
     ic_vqa_batch_size: int = 8
+    # per-env random/expert baselines (JSON: {env: {random, expert}});
+    # when set, evaluate_rl appends the expert-normalized suite summary
+    # ("fraction of tasks >= threshold", the reference README headline)
+    # to its results
+    baselines_path: Optional[str] = None
+    score_threshold: float = 0.5
 
 
 @dataclass

@@ -713,19 +713,26 @@ def split_rl_dataset(full: RLFullDataset, splits_string: str = "90,5,5",
 
 def make_rl_creator(tokenizer: RLTokenizerSuite, cache_dir: str,
                     suite_envs: Optional[Callable[[str], List[str]]] = None,
+                    num_fewshot_episodes: Optional[int] = None,
                     **ds_kwargs):
     """Dataset-factory creators for types 'rl' and 'rl_task_suite'
     (reference: dataset_utils.py DATASET_CREATORS {rl, rl_task_suite}).
 
     'rl': prefix = env name, loaded from the trajectory cache dir.
     'rl_task_suite': prefix = suite name; ``suite_envs(suite)`` lists env
-    names (default: importlib d4rl.{suite}.ALL_ENVS like the reference)."""
+    names (default: importlib d4rl.{suite}.ALL_ENVS like the reference).
+    ``num_fewshot_episodes``: few-shot finetuning — the TRAIN split draws
+    only from the first N trajectories (reference: train_config.py:432-440
+    --num-rl-fewshot_episodes); valid/test keep the full-split views."""
 
     def rl_creator(prefix, splits_string, seq_length, num_samples, seed,
                    **_ctx):
         full = build_rl_dataset_from_cache(
             prefix, cache_dir, seq_length, tokenizer, seed=seed, **ds_kwargs)
-        return split_rl_dataset(full, splits_string, seed)
+        tr, va, te = split_rl_dataset(full, splits_string, seed)
+        if num_fewshot_episodes:
+            tr = RLFinetuneDataset(full, num_fewshot_episodes)
+        return tr, va, te
 
     def suite_creator(prefix, splits_string, seq_length, num_samples, seed,
                       **_ctx):

@@ -165,6 +165,17 @@ def main(cfg: Optional[DB1Config] = None) -> List[dict]:
 
         gathered = multihost_utils.process_allgather(results)
         results = [r for host in gathered for r in host]
+
+    if cfg.eval.baselines_path and jax.process_index() == 0:
+        # suite headline: fraction of tasks >= threshold of expert score
+        # (reference claim: README.md:8 "76% of 870 tasks")
+        from bdm_db1_tpu.eval.aggregate import aggregate_results
+        from bdm_db1_tpu.eval.baselines import BaselineRegistry
+
+        reg = BaselineRegistry.from_json(cfg.eval.baselines_path)
+        summary = aggregate_results(results, reg.table,
+                                    threshold=cfg.eval.score_threshold)
+        emit({"suite_summary": summary})
     return results
 
 

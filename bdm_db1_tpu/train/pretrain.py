@@ -117,6 +117,7 @@ def main(cfg: Optional[DB1Config] = None) -> None:
     if cfg.data.rl_dataset_cache_dir:
         rl_creator, suite_creator = make_rl_creator(
             tok, cfg.data.rl_dataset_cache_dir,
+            num_fewshot_episodes=cfg.data.num_rl_fewshot_episodes,
             use_prompt=cfg.data.use_prompt,
             prompt_ratio=cfg.data.prompt_ratio,
             prompt_prob=cfg.data.prompt_prob,

@@ -148,6 +148,32 @@ def test_evaluate_rl_main_batched(workspace):
     assert out.count("return_mean") == 3
 
 
+def test_evaluate_rl_main_suite_summary(workspace, tmp_path):
+    """With eval.baselines_path set, the driver appends the expert-
+    normalized suite summary to results.output (reference headline,
+    README.md:8)."""
+    import json as _json
+
+    from bdm_db1_tpu.eval.evaluate_rl import main
+
+    baselines = tmp_path / "baselines.json"
+    baselines.write_text(_json.dumps(
+        {"fake-continuous-v0": {"random": -100.0, "expert": 0.0}}))
+    cfg = _tiny_cfg(workspace)
+    cfg.eval.env_names = ("fake-continuous-v0",)
+    cfg.eval.num_trials = 1
+    cfg.eval.max_step_size = 3
+    cfg.eval.batched = False
+    cfg.eval.baselines_path = str(baselines)
+    cfg.train.save_dir = str(tmp_path / "eval_sum")
+    results = main(cfg)
+    out = open(os.path.join(cfg.train.save_dir, "results.output")).read()
+    summary = _json.loads(out.strip().splitlines()[-1])["suite_summary"]
+    assert summary["num_tasks"] == 1.0
+    assert 0.0 <= summary["mean_normalized_score"] <= 2.0
+    assert "fraction_ge_0.5" in summary
+
+
 def test_preprocess_cli(workspace, tmp_path):
     from bdm_db1_tpu.data.preprocess import main
     from bdm_db1_tpu.data.indexed_dataset import make_dataset

@@ -121,3 +121,44 @@ def test_rl_creator_from_empty_cache(tmp_path):
     item = tr[0]
     assert item["modality"] == "rl"
     assert item["tokens"].shape == (64,)
+
+
+def test_rl_creator_fewshot_finetune(tmp_path):
+    """num_fewshot_episodes restricts the TRAIN split to samples from the
+    first N trajectories (reference --num-rl-fewshot_episodes,
+    train_config.py:432-440); valid/test keep the full split."""
+    import numpy as np
+
+    from bdm_db1_tpu.core.config import db1_tiny
+    from bdm_db1_tpu.data.rl_dataset import (
+        RLFinetuneDataset, RLTokenizerSuite, TrajectoryStore, make_rl_creator,
+    )
+    from bdm_db1_tpu.eval.envs import FakeContinuousEnv
+    from bdm_db1_tpu.tokenizers.scalar import ScalarTokenizer
+    from bdm_db1_tpu.tokenizers.text import ByteTextTokenizer
+
+    cfg = db1_tiny()
+    suite = RLTokenizerSuite(
+        cfg.vocab.layout(), ScalarTokenizer(cfg.vocab.num_continuous_bin),
+        ByteTextTokenizer(), vision_patch_size=cfg.vision.patch_size)
+    env = FakeContinuousEnv(obs_dim=3, act_dim=2, episode_len=5)
+    TrajectoryStore.from_flat_dataset(env.make_dataset(8)).save_cache(
+        str(tmp_path), "few-env")
+
+    full_creator, _ = make_rl_creator(suite, str(tmp_path))
+    few_creator, _ = make_rl_creator(suite, str(tmp_path),
+                                     num_fewshot_episodes=2)
+    tr_full, va_full, _ = full_creator(
+        "few-env", "90,5,5", cfg.model.n_position, None, 1234)
+    tr_few, va_few, _ = few_creator(
+        "few-env", "90,5,5", cfg.model.n_position, None, 1234)
+    assert isinstance(tr_few, RLFinetuneDataset)
+    assert len(tr_few) < len(tr_full)
+    # every few-shot sample draws from trajectories < 2
+    paths = {int(tr_few.full.indices[int(i), 0]) for i in tr_few.indices}
+    assert paths <= {0, 1}
+    # valid split untouched by the few-shot restriction
+    assert len(va_few) == len(va_full)
+    item = tr_few[0]
+    assert item["modality"] == "rl"
+    assert item["tokens"].shape == (cfg.model.n_position,)
