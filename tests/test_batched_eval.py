@@ -329,3 +329,39 @@ def test_lockstep_interleave_param():
         assert len(out) == 4
         assert all(o["num_trials"] == 2 for o in out)
         assert all(np.isfinite(o["return_mean"]) for o in out)
+
+
+class _MaskedDiscreteEnv(FakeDiscreteEnv):
+    """Discrete env exposing a per-step action mask that allows ONLY the
+    expert action; records every action it is stepped with."""
+
+    def __init__(self, **kw):
+        super().__init__(**kw)
+        self.taken = []
+
+    def get_cur_action_mask(self):
+        mask = np.zeros((self.action_space.n,), np.float32)
+        mask[self.expert_action(self._obs)] = 1.0
+        return mask
+
+    def step(self, action):
+        assert self.get_cur_action_mask()[int(action)] == 1.0, (
+            "masked-out action reached the env")
+        self.taken.append(int(action))
+        return super().step(action)
+
+
+def test_lockstep_respects_env_action_masks():
+    """The cohort's vectorized mask plumbing (mask_new[live] row updates)
+    must keep per-step env masks flowing into the decode bias: with a mask
+    that allows only the expert action, every env step receives it."""
+    cfg, model, params, tenvs = _setup(
+        _MaskedDiscreteEnv, 3, obs_dim=3, n_actions=4, episode_len=4)
+    decoder = build_decoder_for_env(model, params, tenvs[0])
+    results = run_batched_episodes(
+        tenvs, decoder, rng=np.random.RandomState(0))
+    assert all(r.episode_length == 4 for r in results)
+    for t in tenvs:
+        assert len(t.env.taken) == 4  # stepped every tick, never rejected
+        # reward 1.0 every step: action == expert action by construction
+    assert all(abs(r.episode_return - 4.0) < 1e-6 for r in results)
