@@ -78,11 +78,9 @@ def main() -> None:
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--batch", type=int, default=None,
                     help="envs decoded per device call (lockstep batch). "
-                         "Default: 40 for --geometry mujoco (the bf16 "
-                         "sweet spot at 1.2B on one v5e — 142.6 actions/s, "
-                         "48 exceeds HBM by ~1.1 GB), 24 for atari (the "
-                         "per-step vision encode + frame uploads add HBM "
-                         "pressure); --cache-dtype int8 fits larger batches)")
+                         "Default 40 for both geometries — the bf16 sweet "
+                         "spot at 1.2B on one v5e (48 exceeds HBM by "
+                         "~1.1 GB); --cache-dtype int8 fits larger batches")
     ap.add_argument("--mode", choices=["eval", "train", "both", "production"],
                     default="both",
                     help="eval: RL actions/sec (device-only loop); train: "
@@ -125,9 +123,8 @@ def main() -> None:
     if args.mode == "both" and args.geometry == "mujoco":
         # image-geometry line (most of the 870 tasks are image suites);
         # printed before the mujoco headline so the final line stays the
-        # headline metric drivers parse. An explicit --batch is a
-        # mujoco-tuned knob — the atari pass keeps its own safe default
-        # (40 would OOM under the per-step vision encode + frame uploads).
+        # headline metric drivers parse. An explicit --batch is tuned for
+        # the headline geometry — the atari pass keeps its own default.
         import copy
 
         atari_args = copy.copy(args)
@@ -155,7 +152,11 @@ def _default_eval_batch(args, geometry: str) -> int:
         return 2
     if args.batch is not None:
         return max(1, args.batch)
-    return 40 if geometry == "mujoco" else 24
+    # 40 for both geometries: the ring cache (8.1 GB at 1.2B) dominates
+    # HBM either way — the atari frames/vision activations are noise.
+    # Measured: mujoco 144.9 a/s b40 (48 exceeds HBM by ~1.1 GB); atari
+    # 149.4 a/s b40 vs 144.9 b24.
+    return 40
 
 
 def _eval_setup(args, n_envs: int, episode_len: int, geometry: str):
