@@ -94,6 +94,12 @@ class ModelConfig:
     # at lockstep batch >= 16 at 1.2B) at ~0.5% score error. Opt-in: the
     # greedy-argmax parity guarantee only holds for the exact cache.
     decode_cache_dtype: str = ""
+    # fused Pallas single-token ring-decode attention
+    # (ops/flash_ring_decode.py): streams the stacked K/V cache once per
+    # forward instead of XLA's stage-then-dot ~3x traffic. "auto": on TPU
+    # when shapes allow; "on" forces it (interpret mode off-TPU, for
+    # tests); "off" keeps the XLA einsum ring path.
+    decode_flash: str = "auto"
 
     @property
     def d_head(self) -> int:

@@ -189,6 +189,7 @@ class RelMultiHeadAttn(nn.Module):
         r_w_bias: Optional[Array],
         r_r_bias: Optional[Array],
         deterministic: bool,
+        flash_kv=None,           # (k2, v2) [L, B, M, H*Dh] stacked caches
     ):
         cfg = self.cfg
         d, h, dh = cfg.n_embed, cfg.n_head, cfg.d_head
@@ -218,6 +219,59 @@ class RelMultiHeadAttn(nn.Module):
         b = x.shape[0]
         aux = None
         rk_pre = None
+        if flash_kv is not None:
+            # ---- fused single-token ring decode (Pallas) -----------------
+            # mem = (rk_full [M+1, H, Dh], cursor, layer_idx); the FULL
+            # stacked caches ride in ``flash_kv`` as broadcast scan args so
+            # the kernel DMAs the layer's blocks straight out of the
+            # stacked buffer (scalar-prefetched layer index) — no XLA
+            # staging slice. Math == the XLA ring branch below at q == 1
+            # (rel_shift is identity, the BD rotation/mask fold into an
+            # additive bias, the self column merges in an online-softmax
+            # epilogue) — parity: tests/test_flash_decode.py.
+            from bdm_db1_tpu.ops.flash_ring_decode import (
+                NEG_INF, combine_self_column, flash_ring_decode,
+            )
+
+            assert qlen == 1
+            k2, v2 = flash_kv
+            rk_full, cursor, lidx = mem
+            M = k2.shape[2]
+            pre = ln(x.astype(dtype)) if cfg.pre_lnorm else x.astype(dtype)
+            q, k_x, v_x = jnp.split(qkv_net(pre), 3, axis=-1)
+            q = q.reshape(b, 1, h, dh)
+            k_x = k_x.reshape(b, 1, h, dh)
+            v_x = v_x.reshape(b, 1, h, dh)
+
+            qf = q.astype(jnp.float32)[:, 0]                      # [B, H, Dh]
+            qw = qf + r_w_bias.astype(jnp.float32)
+            qr = qf + r_r_bias.astype(jnp.float32)
+            scale = 1.0 / (dh ** 0.5)
+            bd = jnp.einsum("bhd,jhd->bhj", qr,
+                            rk_full.astype(jnp.float32))          # [B,H,M+1]
+            # aligned col c lives at ring slot (cursor + c) % M
+            bd_s = jnp.roll(bd[..., :M], cursor, axis=-1)
+            mask_s = jnp.roll(mask[0, :M], cursor)
+            bias = jnp.where(mask_s[None, None], NEG_INF, bd_s * scale)
+            o_un, m_s, l_s = flash_ring_decode(
+                k2, v2, qw.reshape(b, h * dh).astype(dtype), bias, lidx,
+                n_head=h, d_head=dh, scale=scale,
+                interpret=jax.devices()[0].platform != "tpu")
+            # distance-0 self column (never masked at q == 1)
+            s_x = ((qw * k_x[:, 0].astype(jnp.float32)).sum(-1)
+                   + bd[..., M]) * scale
+            attn = combine_self_column(
+                o_un, m_s, l_s, s_x, v_x[:, 0], h, dh)[:, None]
+            out = nn.Dense(
+                d, use_bias=False, dtype=dtype, param_dtype=cfg.param_dtype,
+                kernel_init=_part(_deepnorm_or_normal(cfg),
+                                  ("heads", "embed")),
+                name="o_net",
+            )(attn.astype(dtype).reshape(b, 1, d))
+            out = nn.Dropout(cfg.drop)(out, deterministic=deterministic)
+            alpha = (2 * cfg.n_layer) ** 0.25 if cfg.use_deepnorm else 1.0
+            res = (x + out) if cfg.pre_lnorm else ln(x * alpha + out)
+            return res, (k_x, v_x)
         if kv_mode and len(mem) in (4, 6):
             # ---- ring-buffer cache, any qlen <= mem_len ------------------
             # mem = (k_cache, v_cache, rk_full, cursor): the cache is a ring
@@ -426,7 +480,8 @@ class DecoderLayer(nn.Module):
     cfg: ModelConfig
 
     @nn.compact
-    def __call__(self, h, mem, r, mask, r_w_bias, r_r_bias, deterministic):
+    def __call__(self, h, mem, r, mask, r_w_bias, r_r_bias, deterministic,
+                 flash_kv=None):
         hid_in = h
         if self.cfg.sequence_sharded_activations:
             # Megatron-SP: between blocks, activations shard along sequence
@@ -434,7 +489,8 @@ class DecoderLayer(nn.Module):
             h = nn.with_logical_constraint(
                 h, ("batch", "length_sharded", "embed"))
         h, aux = RelMultiHeadAttn(self.cfg, name="attn")(
-            h, r, mem, mask, r_w_bias, r_r_bias, deterministic
+            h, r, mem, mask, r_w_bias, r_r_bias, deterministic,
+            flash_kv=flash_kv,
         )
         h = PositionwiseFF(self.cfg, name="ff")(h, deterministic)
         if self.cfg.sequence_sharded_activations:
@@ -497,7 +553,7 @@ class TransformerXL(nn.Module):
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
             in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast,
-                     nn.broadcast),
+                     nn.broadcast, nn.broadcast),
             out_axes=0,
             length=cfg.n_layer,
             metadata_params={nn.meta.PARTITION_NAME: "layers"},
@@ -590,7 +646,8 @@ class TransformerXL(nn.Module):
 
         r_w = getattr(self, "r_w_bias", None)
         r_r = getattr(self, "r_r_bias", None)
-        h, hids = self.layers(h, mems_in, r, mask, r_w, r_r, deterministic)
+        h, hids = self.layers(h, mems_in, r, mask, r_w, r_r, deterministic,
+                              None)
 
         new_mems = None
         if mems is not None:
@@ -627,7 +684,7 @@ class TransformerXL(nn.Module):
         else:
             mem_xs = (cache["k"], cache["v"])
         h, (k_x, v_x) = self.layers(
-            h, mem_xs, r, mask, r_w, r_r, deterministic)
+            h, mem_xs, r, mask, r_w, r_r, deterministic, None)
         new_cache = {
             "k": jax.lax.stop_gradient(
                 jnp.concatenate([cache["k"], k_x], axis=2)[:, :, -cfg.mem_len:]),
@@ -729,12 +786,21 @@ class TransformerXL(nn.Module):
         r_r = getattr(self, "r_r_bias", None)
         cursor_per_layer = jnp.broadcast_to(cursor, (cfg.n_layer,))
         quantized = "k_scale" in cache
+        flash_kv = None
         if quantized:
             mem_xs = (cache["k"], cache["v"], cache["k_scale"],
                       cache["v_scale"], rk_full, cursor_per_layer)
+        elif self._use_flash_decode(qlen):
+            hd = cfg.n_head * cfg.d_head
+            # contiguous head-dim merge: a bitcast-level reshape, no copy
+            flash_kv = (cache["k"].reshape(cfg.n_layer, -1, M, hd),
+                        cache["v"].reshape(cfg.n_layer, -1, M, hd))
+            mem_xs = (rk_full, cursor_per_layer,
+                      jnp.arange(cfg.n_layer, dtype=jnp.int32))
         else:
             mem_xs = (cache["k"], cache["v"], rk_full, cursor_per_layer)
-        h, (k_x, v_x) = self.layers(h, mem_xs, None, mask, r_w, r_r, True)
+        h, (k_x, v_x) = self.layers(h, mem_xs, None, mask, r_w, r_r, True,
+                                    flash_kv)
         logits = self.logits(h[:, -1:, :])[:, 0, :]
 
         # write the q new rows at (cursor + t) % M — no full-cache copy.
@@ -774,6 +840,21 @@ class TransformerXL(nn.Module):
                 "cursor": (cursor + qlen) % M,
             }
         return logits, new_cache
+
+    def _use_flash_decode(self, qlen: int) -> bool:
+        """Gate for the fused Pallas single-token ring-decode path — q == 1,
+        bf16 cache, shapes the kernel lowers for; "auto" restricts to real
+        TPUs ("on" runs interpret mode off-TPU, for tests)."""
+        cfg = self.cfg
+        if qlen != 1 or cfg.decode_flash == "off":
+            return False
+        if cfg.decode_flash == "on":
+            # interpret mode has no tiling constraints; any block-even M works
+            return cfg.mem_len % min(512, cfg.mem_len) == 0
+        from bdm_db1_tpu.ops.flash_ring_decode import flash_ring_applicable
+
+        return (flash_ring_applicable(cfg.mem_len, cfg.n_head, cfg.d_head)
+                and jax.devices()[0].platform == "tpu")  # "auto"
 
     def align_ring_cache(self, cache: Dict[str, Array]) -> Dict[str, Array]:
         """Rotate a ring cache back to aligned order (oldest at slot 0),

@@ -1,0 +1,107 @@
+"""Parity of the fused Pallas single-token ring-decode path
+(ops/flash_ring_decode.py, interpret mode on CPU) with the XLA einsum ring
+branch it replaces — same cache, same params, logits must agree through
+many steps including cursor wraparound, for both mask modes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bdm_db1_tpu.core.config import db1_tiny
+from bdm_db1_tpu.data.input_specs import RLTaskBatch
+from bdm_db1_tpu.models.transformer_xl import TransformerXL
+from bdm_db1_tpu.ops.flash_ring_decode import (
+    combine_self_column, flash_ring_decode,
+)
+
+
+def test_kernel_matches_dense_softmax():
+    """Kernel + self-column epilogue == dense masked softmax attention."""
+    L, B, M, H, Dh = 3, 2, 16, 4, 8
+    HD = H * Dh
+    rng = np.random.RandomState(0)
+    k2 = jnp.asarray(rng.randn(L, B, M, HD), jnp.float32)
+    v2 = jnp.asarray(rng.randn(L, B, M, HD), jnp.float32)
+    qw = jnp.asarray(rng.randn(B, HD), jnp.float32)
+    bias = jnp.asarray(rng.randn(B, H, M), jnp.float32)
+    bias = bias.at[:, :, 5].set(-1e30)          # one banned ring slot
+    scale = 1.0 / np.sqrt(Dh)
+    lidx = jnp.array(1, jnp.int32)
+
+    o, m, l = flash_ring_decode(
+        k2, v2, qw, bias, lidx, n_head=H, d_head=Dh, scale=scale,
+        block_m=8, interpret=True)
+
+    kf = np.asarray(k2[1], np.float32).reshape(B, M, H, Dh)
+    vf = np.asarray(v2[1], np.float32).reshape(B, M, H, Dh)
+    qwf = np.asarray(qw, np.float32).reshape(B, H, Dh)
+    s_ref = np.einsum("bhd,bmhd->bhm", qwf, kf) * scale + np.asarray(bias)
+    k_x = rng.randn(B, H, Dh).astype(np.float32)
+    v_x = rng.randn(B, H, Dh).astype(np.float32)
+    s_x = (qwf * k_x).sum(-1) * scale
+    s_full = np.concatenate([s_ref, s_x[..., None]], -1)
+    p = np.exp(s_full - s_full.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    out_ref = np.einsum("bhm,bmhd->bhd", p[..., :M], vf) + p[..., M:] * v_x
+    assert p[..., 5].max() == 0.0               # mask respected
+
+    out = combine_self_column(o, m, l, jnp.asarray(s_x), jnp.asarray(v_x),
+                              H, Dh)
+    np.testing.assert_allclose(np.asarray(out), out_ref, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("same_length", [True, False])
+def test_flash_ring_matches_xla_ring(same_length):
+    cfg = db1_tiny()
+    cfg.model.dtype = "float32"
+    cfg.model.same_length = same_length
+    model_xla = TransformerXL(cfg.model, cfg.vocab, cfg.vision)
+
+    import dataclasses
+    cfg_fl = dataclasses.replace(cfg.model, decode_flash="on")
+    model_fl = TransformerXL(cfg_fl, cfg.vocab, cfg.vision)
+    assert model_fl.cfg.decode_flash == "on"
+
+    layout = cfg.vocab.layout()
+    tok0 = jnp.zeros((2, cfg.model.n_position), jnp.int32)
+    params = model_xla.init(jax.random.PRNGKey(0), {"rl": RLTaskBatch(
+        tokens=tok0, position_id=tok0, loss_mask=tok0, label=tok0)})["params"]
+
+    rk1 = model_xla.apply({"params": params}, 1,
+                          method=TransformerXL.precompute_rk)
+    ring_a = model_xla.apply({"params": params}, 2,
+                             method=TransformerXL.init_kv_cache_ring)
+    ring_b = jax.tree.map(lambda x: x, ring_a)
+
+    rng = np.random.RandomState(1)
+    # prime through the (shared, XLA) multi-token ring path first so the
+    # single-token steps run against a non-trivial cache + cursor
+    prime = jnp.asarray(
+        rng.randint(0, layout.total_vocab_size, (2, 7)), jnp.int32)
+    ppos = jnp.asarray(rng.randint(0, 8, (2, 7)), jnp.int32)
+    rk7 = model_xla.apply({"params": params}, 7,
+                          method=TransformerXL.precompute_rk)
+    _, ring_a = model_xla.apply({"params": params}, prime, ppos, ring_a, rk7,
+                                method=TransformerXL.decode_rl_kv_ring)
+    _, ring_b = model_fl.apply({"params": params}, prime, ppos, ring_b, rk7,
+                               method=TransformerXL.decode_rl_kv_ring)
+
+    # 40 single-token steps > mem_len (32): covers cursor wraparound
+    for step in range(40):
+        t = jnp.asarray(
+            rng.randint(0, layout.total_vocab_size, (2, 1)), jnp.int32)
+        p = jnp.zeros((2, 1), jnp.int32)
+        lg_a, ring_a = model_xla.apply(
+            {"params": params}, t, p, ring_a, rk1,
+            method=TransformerXL.decode_rl_kv_ring)
+        lg_b, ring_b = model_fl.apply(
+            {"params": params}, t, p, ring_b, rk1,
+            method=TransformerXL.decode_rl_kv_ring)
+        np.testing.assert_allclose(
+            np.asarray(lg_b), np.asarray(lg_a), rtol=5e-5, atol=5e-5,
+            err_msg=f"step {step}")
+        np.testing.assert_allclose(
+            np.asarray(ring_b["k"]), np.asarray(ring_a["k"]),
+            rtol=5e-6, atol=5e-6)
+        assert int(ring_b["cursor"]) == int(ring_a["cursor"])
