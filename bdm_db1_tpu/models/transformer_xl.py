@@ -254,7 +254,7 @@ class RelMultiHeadAttn(nn.Module):
             mask_s = jnp.roll(mask[0, :M], cursor)
             bias = jnp.where(mask_s[None, None], NEG_INF, bd_s * scale)
             o_un, m_s, l_s = flash_ring_decode(
-                k2, v2, qw.reshape(b, h * dh).astype(dtype), bias, lidx,
+                k2, v2, qw.astype(dtype), bias, lidx,
                 n_head=h, d_head=dh, scale=scale,
                 interpret=jax.devices()[0].platform != "tpu")
             # distance-0 self column (never masked at q == 1)
@@ -791,10 +791,10 @@ class TransformerXL(nn.Module):
             mem_xs = (cache["k"], cache["v"], cache["k_scale"],
                       cache["v_scale"], rk_full, cursor_per_layer)
         elif self._use_flash_decode(qlen):
-            hd = cfg.n_head * cfg.d_head
-            # contiguous head-dim merge: a bitcast-level reshape, no copy
-            flash_kv = (cache["k"].reshape(cfg.n_layer, -1, M, hd),
-                        cache["v"].reshape(cfg.n_layer, -1, M, hd))
+            # native [L, B, M, H, Dh] layout straight into the kernel — a
+            # head-dim-merging reshape here is a TPU relayout, not a
+            # bitcast: XLA materializes a full 3.75 GB cache copy per array
+            flash_kv = (cache["k"], cache["v"])
             mem_xs = (rk_full, cursor_per_layer,
                       jnp.arange(cfg.n_layer, dtype=jnp.int32))
         else:

@@ -11,20 +11,36 @@ cross HBM ~3x per forward. xprof at 1.2B b40: 73.5 ms/env-step of
 This kernel streams the cache exactly once: it takes the FULL stacked
 cache (a broadcast scan argument) plus the layer index as a scalar-prefetch
 operand, so the per-layer block is DMA'd HBM->VMEM directly out of the
-stacked buffer — there is no XLA-level slice at all. Per (batch row,
-key-block) grid step it computes all heads' scores with one MXU dot
-against a block-diagonal query matrix (an r1 attempt that reduced per-head
-with VPU lane ops measured SLOWER than XLA; everything here is MXU or
-lane-wise), runs online softmax in the ``[H, bm]`` layout (lane-dim
-reductions only, no transposes), and accumulates P@V into an ``[H, H*Dh]``
-f32 scratch whose diagonal blocks are extracted once at the end.
+stacked buffer — there is no XLA-level slice at all. The cache stays in
+its native ``[L, B, M, H, Dh]`` layout: a head-dim-merging reshape outside
+the kernel is NOT a bitcast under TPU tiling (XLA materializes a full
+3.75 GB cache copy per array, memory_analysis-verified), while merging the
+LEADING dims of the loaded block to ``[bm*H, Dh]`` inside the kernel is
+layout-free.
 
-The relative-position BD term and the ring masking are batch-cheap
-(``[B, H, M]``) and stay in XLA: the caller folds ``rel_shift``-at-q==1
-(identity), the cursor rotation and the banned-slot mask into a single
-additive f32 ``bias`` input. The new token's self-column (distance-0
-score against k_x/v_x) is merged outside in a two-term online-softmax
-epilogue (``combine_self_column``), so the kernel never sees k_x/v_x.
+Two kernel designs measured SLOWER than this one and are intentionally
+absent: (r1) per-(b, h) VPU lane reductions; (r3) a per-head loop of 32
+``[1, Dh] x [Dh, bm]`` MXU dots per grid step — at one query row per dot
+the MXU spends ~16x longer loading K/V as weights than computing, and the
+strided ``[bm, h, :]`` VMEM slices gather one sublane row at a time
+(xprof: 2.26 ms/call vs the 0.5 ms roofline). Instead each grid step runs
+ONE all-pairs dot ``[bm*H, Dh] x [Dh, H]`` (every key row scored against
+every head's query), masks the off-diagonal (key-head != query-head) rows
+to -inf, and lets the column softmax + the ``[bm*H, H]^T x [bm*H, Dh]``
+PV contraction consume the full matrix — off-diagonal rows softmax to
+zero weight, so the junk pairs never reach the output. The H-fold extra
+MXU work is free next to the HBM stream (attention arithmetic intensity
+at q == 1 is ~1 FLOP/byte).
+
+The kernel is stateless per grid step (no online-softmax carry): each
+(batch row, key-block) emits unnormalized partial output + (max, denom)
+row stats, and the wrapper merges the nm = M/bm blocks in XLA (a few
+hundred KB — negligible). The relative-position BD term and ring masking
+fold into an additive f32 ``bias`` input built by the caller
+(``rel_shift`` at q == 1 is the identity; the cursor rotation and the
+banned-slot mask are batch-cheap in XLA). The new token's self-column
+merges the same way via :func:`combine_self_column`, so the kernel never
+sees k_x/v_x.
 
 Semantics are those of the reference's masked fp32 softmax attention
 (reference: src/model/transformer_xl.py:160-220) restricted to qlen == 1;
@@ -51,73 +67,56 @@ def flash_ring_applicable(mem_len: int, n_head: int, d_head: int,
     bm = min(block_m, mem_len)
     return (
         mem_len % bm == 0
-        and d_head % 128 == 0          # lane-aligned head slices
-        and n_head % 8 == 0            # f32 sublane tile in [H, bm] scores
-        and (n_head * d_head) % 128 == 0
+        and d_head % 128 == 0          # lane-aligned per-head value rows
+        and n_head % 8 == 0            # sublane-even head replication
     )
 
 
-def _kernel_impl(lidx_ref, k_ref, v_ref, qw_ref, bias_ref,
-                 o_ref, om_ref, ol_ref, acc_ref, m_ref, l_ref, *,
-                 n_blocks: int, n_head: int, d_head: int, scale: float):
-    i = pl.program_id(1)
-    hd = n_head * d_head
+def _kernel_impl(lidx_ref, k_ref, v_ref, qwt_ref, bias_ref,
+                 o_ref, om_ref, ol_ref, *, n_head: int, d_head: int):
+    bm = k_ref.shape[2]
+    rows = bm * n_head
 
-    @pl.when(i == 0)
-    def _init():
-        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
-        l_ref[...] = jnp.zeros_like(l_ref)
-        acc_ref[...] = jnp.zeros_like(acc_ref)
+    # [bm, H, Dh] -> [bm*H, Dh]: leading-dim merge, layout-free in VMEM
+    k2 = k_ref[0, 0].reshape(rows, d_head)
+    # all-pairs scores: row (m, h) x every head's query (scale pre-folded
+    # into qwt by the wrapper)
+    s_all = jax.lax.dot_general(
+        k2, qwt_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # [bm*H, H]
 
-    # block-diagonal query: qbd[g, h*Dh+d] = qw[h, d] if h == g else 0 —
-    # one [H, HD] x [bm, HD]^T MXU dot then yields every head's scores.
-    # Arithmetic masking (multiply, not where) and a fresh iota per use
-    # site: Mosaic can't relayout a shared i1 mask between a replicated
-    # broadcast and the emit reduction below.
-    def _diag(dtype):
-        row = jax.lax.broadcasted_iota(jnp.int32, (n_head, hd), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (n_head, hd), 1)
-        return (col // d_head == row).astype(dtype)
+    # bias lands on the diagonal (key-head == query-head) entries; the
+    # sublane-replicated expansion is layout-free and its off-diagonal
+    # values are junk that the mask below kills
+    bias_rep = jnp.broadcast_to(
+        bias_ref[0][:, None, :], (bm, n_head, n_head)).reshape(rows, n_head)
+    r_head = jax.lax.broadcasted_iota(jnp.int32, (rows, n_head), 0) % n_head
+    g_head = jax.lax.broadcasted_iota(jnp.int32, (rows, n_head), 1)
+    s_m = jnp.where(r_head == g_head, s_all + bias_rep, NEG_INF)
 
-    qbd = jnp.broadcast_to(qw_ref[0], (n_head, hd)) * _diag(qw_ref.dtype)
+    # column softmax over all bm*H rows == per-head softmax over its bm
+    # keys: off-diagonal rows sit at -inf and get exactly zero weight
+    m_blk = jnp.max(s_m, axis=0, keepdims=True)           # [1, H]
+    p = jnp.exp(s_m - m_blk)                              # [bm*H, H]
+    l_blk = jnp.sum(p, axis=0, keepdims=True)             # [1, H]
 
-    k_blk = k_ref[0, 0]                                   # [bm, HD]
-    s = jax.lax.dot_general(
-        qbd, k_blk, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)               # [H, bm]
-    s = s * scale + bias_ref[0]
+    v2 = v_ref[0, 0].reshape(rows, d_head)
+    o_blk = jax.lax.dot_general(
+        p.astype(v2.dtype), v2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # [H, Dh]
 
-    m_prev = m_ref[:, :1]
-    l_prev = l_ref[:, :1]
-    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)
-    l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
-
-    v_blk = v_ref[0, 0]
-    pv = jax.lax.dot_general(
-        p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)               # [H, HD]
-    acc_ref[...] = acc_ref[...] * alpha + pv
-    m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
-    l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
-
-    @pl.when(i == n_blocks - 1)
-    def _emit():
-        o_ref[...] = jnp.sum(
-            acc_ref[...] * _diag(jnp.float32), axis=0,
-            keepdims=True)[None]
-        om_ref[...] = m_ref[:, :1][None]
-        ol_ref[...] = l_ref[:, :1][None]
+    o_ref[...] = o_blk[None, None]
+    om_ref[...] = m_blk[None, None]
+    ol_ref[...] = l_blk[None, None]
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("n_head", "d_head", "scale", "block_m", "interpret"))
 def flash_ring_decode(
-    k2: jax.Array,          # [L, B, M, H*Dh] bf16 (stacked ring cache)
-    v2: jax.Array,          # [L, B, M, H*Dh] bf16
-    qw_flat: jax.Array,     # [B, H*Dh] bf16 — (q + r_w_bias), flattened
+    k_cache: jax.Array,     # [L, B, M, H, Dh] (stacked ring cache)
+    v_cache: jax.Array,     # [L, B, M, H, Dh]
+    qw: jax.Array,          # [B, H, Dh] — (q + r_w_bias), compute dtype
     bias: jax.Array,        # [B, H, M] f32 — scaled BD term, ring order,
                             #   NEG_INF at banned slots
     lidx: jax.Array,        # [] or [1] int32 — layer to read
@@ -127,54 +126,59 @@ def flash_ring_decode(
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Cache-column attention for one decode token over one layer's ring.
 
-    Returns ``(o_unnorm [B, H*Dh] f32, m [B, H, 1] f32, l [B, H, 1] f32)``
+    Returns ``(o_unnorm [B, H, Dh] f32, m [B, H, 1] f32, l [B, H, 1] f32)``
     — the UNNORMALIZED online-softmax accumulator and its row stats; fold
     in the self column with :func:`combine_self_column`.
     """
-    L, B, M, HD = k2.shape
-    assert HD == n_head * d_head, (HD, n_head, d_head)
+    L, B, M, H, Dh = k_cache.shape
+    assert (H, Dh) == (n_head, d_head), (k_cache.shape, n_head, d_head)
     bm = min(block_m, M)
     assert M % bm == 0, (M, bm)
     nm = M // bm
     lidx = jnp.reshape(lidx.astype(jnp.int32), (1,))
 
+    # scale folds into the (transposed) query operand; bias arrives scaled
+    qwt = (jnp.asarray(scale, qw.dtype) * qw).transpose(0, 2, 1)  # [B,Dh,H]
+    bias_t = bias.transpose(0, 2, 1)                              # [B,M,H]
+
     grid = (B, nm)
     kv_spec = pl.BlockSpec(
-        (1, 1, bm, HD), lambda b, i, l: (l[0], b, i, 0))
-    qw_spec = pl.BlockSpec((1, 1, HD), lambda b, i, l: (b, 0, 0))
-    bias_spec = pl.BlockSpec((1, n_head, bm), lambda b, i, l: (b, 0, i))
-    o_spec = pl.BlockSpec((1, 1, HD), lambda b, i, l: (b, 0, 0))
-    stat_spec = pl.BlockSpec((1, n_head, 1), lambda b, i, l: (b, 0, 0))
+        (1, 1, bm, H, Dh), lambda b, i, l: (l[0], b, i, 0, 0))
+    qwt_spec = pl.BlockSpec((1, Dh, H), lambda b, i, l: (b, 0, 0))
+    bias_spec = pl.BlockSpec((1, bm, H), lambda b, i, l: (b, i, 0))
+    o_spec = pl.BlockSpec((1, 1, H, Dh), lambda b, i, l: (b, i, 0, 0))
+    stat_spec = pl.BlockSpec((1, 1, 1, H), lambda b, i, l: (b, i, 0, 0))
 
-    out = pl.pallas_call(
-        functools.partial(
-            _kernel_impl, n_blocks=nm, n_head=n_head, d_head=d_head,
-            scale=scale),
+    o_part, m_part, l_part = pl.pallas_call(
+        functools.partial(_kernel_impl, n_head=n_head, d_head=d_head),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
-            in_specs=[kv_spec, kv_spec, qw_spec, bias_spec],
+            in_specs=[kv_spec, kv_spec, qwt_spec, bias_spec],
             out_specs=[o_spec, stat_spec, stat_spec],
-            scratch_shapes=[
-                pltpu.VMEM((n_head, HD), jnp.float32),    # acc
-                pltpu.VMEM((n_head, 128), jnp.float32),   # running max
-                pltpu.VMEM((n_head, 128), jnp.float32),   # running denom
-            ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((B, 1, HD), jnp.float32),
-            jax.ShapeDtypeStruct((B, n_head, 1), jnp.float32),
-            jax.ShapeDtypeStruct((B, n_head, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, nm, H, Dh), jnp.float32),
+            jax.ShapeDtypeStruct((B, nm, 1, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, nm, 1, H), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(lidx, k2, v2, qw_flat.reshape(B, 1, HD), bias)
-    return out[0][:, 0], out[1], out[2]
+    )(lidx, k_cache, v_cache, qwt, bias_t)
+
+    # merge the nm block partials in XLA — a few hundred KB, negligible
+    # next to the GB-scale cache stream the kernel just did
+    m_p = m_part[:, :, 0]                                  # [B, nm, H]
+    m_f = jnp.max(m_p, axis=1)                             # [B, H]
+    w = jnp.exp(m_p - m_f[:, None, :])                     # [B, nm, H]
+    o_un = jnp.einsum("bnhd,bnh->bhd", o_part, w)
+    l_f = jnp.einsum("bnh,bnh->bh", l_part[:, :, 0], w)
+    return o_un, m_f[..., None], l_f[..., None]
 
 
 def combine_self_column(
-    o_unnorm: jax.Array,    # [B, H*Dh] f32 from the kernel
+    o_unnorm: jax.Array,    # [B, H, Dh] f32 from the kernel
     m: jax.Array,           # [B, H, 1] f32
     l: jax.Array,           # [B, H, 1] f32
     s_x: jax.Array,         # [B, H] f32 — scaled self-column score
@@ -188,13 +192,11 @@ def combine_self_column(
     s_x, rescale both sides to the joint max and renormalize.
     Returns [B, H, Dh] f32 attention output.
     """
-    B = o_unnorm.shape[0]
-    o = o_unnorm.reshape(B, n_head, d_head)
     m = m[..., 0]                                          # [B, H]
     l = l[..., 0]
     m_t = jnp.maximum(m, s_x)
     a_cache = jnp.exp(m - m_t)[..., None]
     a_self = jnp.exp(s_x - m_t)[..., None]
-    num = o * a_cache + a_self * v_x.astype(jnp.float32)
+    num = o_unnorm * a_cache + a_self * v_x.astype(jnp.float32)
     den = l[..., None] * a_cache + a_self
     return num / den

@@ -19,11 +19,10 @@ from bdm_db1_tpu.ops.flash_ring_decode import (
 def test_kernel_matches_dense_softmax():
     """Kernel + self-column epilogue == dense masked softmax attention."""
     L, B, M, H, Dh = 3, 2, 16, 4, 8
-    HD = H * Dh
     rng = np.random.RandomState(0)
-    k2 = jnp.asarray(rng.randn(L, B, M, HD), jnp.float32)
-    v2 = jnp.asarray(rng.randn(L, B, M, HD), jnp.float32)
-    qw = jnp.asarray(rng.randn(B, HD), jnp.float32)
+    k2 = jnp.asarray(rng.randn(L, B, M, H, Dh), jnp.float32)
+    v2 = jnp.asarray(rng.randn(L, B, M, H, Dh), jnp.float32)
+    qw = jnp.asarray(rng.randn(B, H, Dh), jnp.float32)
     bias = jnp.asarray(rng.randn(B, H, M), jnp.float32)
     bias = bias.at[:, :, 5].set(-1e30)          # one banned ring slot
     scale = 1.0 / np.sqrt(Dh)
@@ -33,9 +32,9 @@ def test_kernel_matches_dense_softmax():
         k2, v2, qw, bias, lidx, n_head=H, d_head=Dh, scale=scale,
         block_m=8, interpret=True)
 
-    kf = np.asarray(k2[1], np.float32).reshape(B, M, H, Dh)
-    vf = np.asarray(v2[1], np.float32).reshape(B, M, H, Dh)
-    qwf = np.asarray(qw, np.float32).reshape(B, H, Dh)
+    kf = np.asarray(k2[1], np.float32)
+    vf = np.asarray(v2[1], np.float32)
+    qwf = np.asarray(qw, np.float32)
     s_ref = np.einsum("bhd,bmhd->bhm", qwf, kf) * scale + np.asarray(bias)
     k_x = rng.randn(B, H, Dh).astype(np.float32)
     v_x = rng.randn(B, H, Dh).astype(np.float32)
