@@ -229,45 +229,66 @@ class RelMultiHeadAttn(nn.Module):
             # (rel_shift is identity, the BD rotation/mask fold into an
             # additive bias, the self column merges in an online-softmax
             # epilogue) — parity: tests/test_flash_decode.py.
+            from bdm_db1_tpu.ops.attention import rel_shift_sliced
             from bdm_db1_tpu.ops.flash_ring_decode import (
-                NEG_INF, combine_self_column, flash_ring_decode,
+                NEG_INF, combine_new_columns, combine_self_column,
+                flash_ring_decode, flash_ring_prime,
             )
 
-            assert qlen == 1
             k2, v2 = flash_kv
             rk_full, cursor, lidx = mem
             M = k2.shape[2]
+            interpret = jax.devices()[0].platform != "tpu"
             pre = ln(x.astype(dtype)) if cfg.pre_lnorm else x.astype(dtype)
             q, k_x, v_x = jnp.split(qkv_net(pre), 3, axis=-1)
-            q = q.reshape(b, 1, h, dh)
-            k_x = k_x.reshape(b, 1, h, dh)
-            v_x = v_x.reshape(b, 1, h, dh)
+            q = q.reshape(b, qlen, h, dh)
+            k_x = k_x.reshape(b, qlen, h, dh)
+            v_x = v_x.reshape(b, qlen, h, dh)
 
-            qf = q.astype(jnp.float32)[:, 0]                      # [B, H, Dh]
-            qw = qf + r_w_bias.astype(jnp.float32)
+            qf = q.astype(jnp.float32)
+            qw = qf + r_w_bias.astype(jnp.float32)        # [B, Q, H, Dh]
             qr = qf + r_r_bias.astype(jnp.float32)
             scale = 1.0 / (dh ** 0.5)
-            bd = jnp.einsum("bhd,jhd->bhj", qr,
-                            rk_full.astype(jnp.float32))          # [B,H,M+1]
-            # aligned col c lives at ring slot (cursor + c) % M
-            bd_s = jnp.roll(bd[..., :M], cursor, axis=-1)
-            mask_s = jnp.roll(mask[0, :M], cursor)
-            bias = jnp.where(mask_s[None, None], NEG_INF, bd_s * scale)
-            o_un, m_s, l_s = flash_ring_decode(
-                k2, v2, qw.astype(dtype), bias, lidx,
-                n_head=h, d_head=dh, scale=scale,
-                interpret=jax.devices()[0].platform != "tpu")
-            # distance-0 self column (never masked at q == 1)
-            s_x = ((qw * k_x[:, 0].astype(jnp.float32)).sum(-1)
-                   + bd[..., M]) * scale
-            attn = combine_self_column(
-                o_un, m_s, l_s, s_x, v_x[:, 0], h, dh)[:, None]
+            if qlen == 1:
+                qw0, qr0 = qw[:, 0], qr[:, 0]             # [B, H, Dh]
+                bd = jnp.einsum("bhd,jhd->bhj", qr0,
+                                rk_full.astype(jnp.float32))   # [B,H,M+1]
+                # aligned col c lives at ring slot (cursor + c) % M
+                bd_s = jnp.roll(bd[..., :M], cursor, axis=-1)
+                mask_s = jnp.roll(mask[0, :M], cursor)
+                bias = jnp.where(mask_s[None, None], NEG_INF, bd_s * scale)
+                o_un, m_s, l_s = flash_ring_decode(
+                    k2, v2, qw0.astype(dtype), bias, lidx,
+                    n_head=h, d_head=dh, scale=scale, interpret=interpret)
+                # distance-0 self column (never masked at q == 1)
+                s_x = ((qw0 * k_x[:, 0].astype(jnp.float32)).sum(-1)
+                       + bd[..., M]) * scale
+                attn = combine_self_column(
+                    o_un, m_s, l_s, s_x, v_x[:, 0], h, dh)[:, None]
+            else:
+                bd = jnp.einsum("bihd,jhd->bhij", qr,
+                                rk_full.astype(jnp.float32))  # [B,H,Q,M+Q]
+                bd = rel_shift_sliced(bd)
+                bd_s = jnp.roll(bd[..., :M], cursor, axis=-1)
+                mask_s = jnp.roll(mask[:, :M], cursor, axis=-1)  # [Q, M]
+                bias = jnp.where(mask_s[None, None], NEG_INF, bd_s * scale)
+                o_un, m_s, l_s = flash_ring_prime(
+                    k2, v2, qw.transpose(0, 2, 1, 3).astype(dtype), bias,
+                    lidx, n_head=h, d_head=dh, scale=scale,
+                    interpret=interpret)
+                # new tokens' q x q block (causal among themselves)
+                ac_x = jnp.einsum("bihd,bjhd->bhij", qw,
+                                  k_x.astype(jnp.float32))
+                s_new = jnp.where(mask[None, None, :, M:], NEG_INF,
+                                  (ac_x + bd[..., M:]) * scale)
+                attn = combine_new_columns(
+                    o_un, m_s, l_s, s_new, v_x, compute_dtype=dtype)
             out = nn.Dense(
                 d, use_bias=False, dtype=dtype, param_dtype=cfg.param_dtype,
                 kernel_init=_part(_deepnorm_or_normal(cfg),
                                   ("heads", "embed")),
                 name="o_net",
-            )(attn.astype(dtype).reshape(b, 1, d))
+            )(attn.astype(dtype).reshape(b, qlen, d))
             out = nn.Dropout(cfg.drop)(out, deterministic=deterministic)
             alpha = (2 * cfg.n_layer) ** 0.25 if cfg.use_deepnorm else 1.0
             res = (x + out) if cfg.pre_lnorm else ln(x * alpha + out)
@@ -842,11 +863,14 @@ class TransformerXL(nn.Module):
         return logits, new_cache
 
     def _use_flash_decode(self, qlen: int) -> bool:
-        """Gate for the fused Pallas single-token ring-decode path — q == 1,
-        bf16 cache, shapes the kernel lowers for; "auto" restricts to real
-        TPUs ("on" runs interpret mode off-TPU, for tests)."""
+        """Gate for the fused Pallas ring-decode paths — q == 1 (per-action
+        token) or a small multi-token prime, exact-dtype cache, shapes the
+        kernels lower for; "auto" restricts to real TPUs ("on" runs
+        interpret mode off-TPU, for tests)."""
         cfg = self.cfg
-        if qlen != 1 or cfg.decode_flash == "off":
+        from bdm_db1_tpu.ops.flash_ring_decode import MAX_PRIME_Q
+
+        if not (1 <= qlen <= MAX_PRIME_Q) or cfg.decode_flash == "off":
             return False
         if cfg.decode_flash == "on":
             # interpret mode has no tiling constraints; any block-even M works

@@ -177,6 +177,122 @@ def flash_ring_decode(
     return o_un, m_f[..., None], l_f[..., None]
 
 
+def _prime_kernel(lidx_ref, k_ref, v_ref, qw_ref, bias_ref,
+                  o_ref, om_ref, ol_ref, *, n_head: int):
+    # per-head flash tiles in the [Q, bm] orientation of ops/
+    # pallas_attention.py (scores "nt", PV "nn" — both MXU-native); the
+    # strided [.., h, :] VMEM slices cost ~1 vreg row per cycle, which at
+    # q >= 2 amortizes over the q query rows (xprof: 1.21 ms/layer-call at
+    # q 18 b40 vs the XLA ring branch's ~2.9 ms)
+    for h in range(n_head):
+        k_h = k_ref[0, 0, :, h, :]                        # [bm, Dh]
+        s = jax.lax.dot_general(
+            qw_ref[0, h], k_h, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [Q, bm]
+        s = s + bias_ref[0, h]
+        m_b = jnp.max(s, axis=1, keepdims=True)           # [Q, 1]
+        p = jnp.exp(s - m_b)
+        l_b = jnp.sum(p, axis=1, keepdims=True)
+        v_h = v_ref[0, 0, :, h, :]
+        pv = jax.lax.dot_general(
+            p.astype(v_h.dtype), v_h, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [Q, Dh]
+        o_ref[0, 0, h] = pv
+        om_ref[0, 0, h] = m_b
+        ol_ref[0, 0, h] = l_b
+
+
+MAX_PRIME_Q = 32
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_head", "d_head", "scale", "block_m", "interpret"))
+def flash_ring_prime(
+    k_cache: jax.Array,     # [L, B, M, H, Dh] (stacked ring cache)
+    v_cache: jax.Array,     # [L, B, M, H, Dh]
+    qw: jax.Array,          # [B, H, Q, Dh] — (q + r_w_bias), compute dtype
+    bias: jax.Array,        # [B, H, Q, M] f32 — scaled BD term, ring
+                            #   order, NEG_INF at banned slots
+    lidx: jax.Array,        # [] or [1] int32 — layer to read
+    *,
+    n_head: int, d_head: int, scale: float,
+    block_m: int = DEFAULT_BLOCK_M, interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Cache-column attention for a small multi-token prime (2 <= Q <= 32)
+    over one layer's ring — the per-env-step observation prime.
+
+    Returns ``(o_unnorm [B, H, Q, Dh] f32, m [B, H, Q], l [B, H, Q])``;
+    fold in the new tokens' q x q self block with
+    :func:`combine_new_columns`.
+    """
+    L, B, M, H, Dh = k_cache.shape
+    Q = qw.shape[2]
+    assert (H, Dh) == (n_head, d_head), (k_cache.shape, n_head, d_head)
+    assert 2 <= Q <= MAX_PRIME_Q, Q
+    bm = min(block_m, M)
+    assert M % bm == 0, (M, bm)
+    nm = M // bm
+    lidx = jnp.reshape(lidx.astype(jnp.int32), (1,))
+    qw = jnp.asarray(scale, qw.dtype) * qw     # fold the 1/sqrt(Dh) scale
+
+    grid = (B, nm)
+    kv_spec = pl.BlockSpec(
+        (1, 1, bm, H, Dh), lambda b, i, l: (l[0], b, i, 0, 0))
+    qw_spec = pl.BlockSpec((1, H, Q, Dh), lambda b, i, l: (b, 0, 0, 0))
+    bias_spec = pl.BlockSpec((1, H, Q, bm), lambda b, i, l: (b, 0, 0, i))
+    o_spec = pl.BlockSpec((1, 1, H, Q, Dh), lambda b, i, l: (b, i, 0, 0, 0))
+    stat_spec = pl.BlockSpec((1, 1, H, Q, 1), lambda b, i, l: (b, i, 0, 0, 0))
+
+    o_part, m_part, l_part = pl.pallas_call(
+        functools.partial(_prime_kernel, n_head=n_head),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[kv_spec, kv_spec, qw_spec, bias_spec],
+            out_specs=[o_spec, stat_spec, stat_spec],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, nm, H, Q, Dh), jnp.float32),
+            jax.ShapeDtypeStruct((B, nm, H, Q, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, nm, H, Q, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(lidx, k_cache, v_cache, qw, bias)
+
+    m_p = m_part[..., 0]                                   # [B, nm, H, Q]
+    m_f = jnp.max(m_p, axis=1)                             # [B, H, Q]
+    w = jnp.exp(m_p - m_f[:, None])                        # [B, nm, H, Q]
+    o_un = jnp.einsum("bnhqd,bnhq->bhqd", o_part, w)
+    l_f = jnp.einsum("bnhq,bnhq->bhq", l_part[..., 0], w)
+    return o_un, m_f, l_f
+
+
+def combine_new_columns(
+    o_unnorm: jax.Array,    # [B, H, Q, Dh] f32 from the prime kernel
+    m: jax.Array,           # [B, H, Q] f32
+    l: jax.Array,           # [B, H, Q] f32
+    s_new: jax.Array,       # [B, H, Q, Q] f32 — scaled new-token scores,
+                            #   NEG_INF at masked (anti-causal) entries
+    v_x: jax.Array,         # [B, Q, H, Dh] — the new tokens' value rows
+    compute_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Merge the new tokens' Q x Q self/causal block into the cache-column
+    online-softmax partials — the q > 1 generalization of
+    :func:`combine_self_column`. Returns [B, Q, H, Dh] f32."""
+    m_t = jnp.maximum(m, jnp.max(s_new, axis=-1))          # [B, H, Q]
+    w_c = jnp.exp(m - m_t)
+    p_new = jnp.exp(s_new - m_t[..., None])                # [B, H, Q, Q]
+    num = (o_unnorm * w_c[..., None]
+           + jnp.einsum("bhij,bjhd->bhid",
+                        p_new.astype(compute_dtype),
+                        v_x.astype(compute_dtype)).astype(jnp.float32))
+    den = l * w_c + jnp.sum(p_new, axis=-1)
+    return (num / den[..., None]).transpose(0, 2, 1, 3)    # [B, Q, H, Dh]
+
+
 def combine_self_column(
     o_unnorm: jax.Array,    # [B, H, Dh] f32 from the kernel
     m: jax.Array,           # [B, H, 1] f32
