@@ -184,7 +184,15 @@ class StratifiedGatoLoader:
                                        for k in keys})
                     batch[m] = {k: np.stack([mi[k] for mi in micros])
                                 for k in micros[0]}
-                self._q.put(batch)
+                # timed put so a worker blocked on a full queue still
+                # observes stop() and exits (a bare put would pin the
+                # thread — and its batch's memory — for process lifetime)
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(batch, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
             except StopIteration:
                 break
             except Exception as e:  # surface worker errors to the consumer
@@ -206,6 +214,8 @@ class StratifiedGatoLoader:
 
     def stop(self):
         self._stop.set()
+        for t in self._threads:
+            t.join(timeout=1.0)
 
 
 class PrefetchLoader:

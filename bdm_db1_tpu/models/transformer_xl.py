@@ -189,7 +189,8 @@ class RelMultiHeadAttn(nn.Module):
         r_w_bias: Optional[Array],
         r_r_bias: Optional[Array],
         deterministic: bool,
-        flash_kv=None,           # (k2, v2) [L, B, M, H*Dh] stacked caches
+        flash_kv=None,           # (k2, v2) [L, B, M, H, Dh] stacked caches,
+                                 # +(k_scale, v_scale) when int8
     ):
         cfg = self.cfg
         d, h, dh = cfg.n_embed, cfg.n_head, cfg.d_head
@@ -235,7 +236,13 @@ class RelMultiHeadAttn(nn.Module):
                 flash_ring_decode, flash_ring_prime,
             )
 
-            k2, v2 = flash_kv
+            # 2-tuple: exact-dtype caches; 4-tuple: int8 caches + dequant
+            # scales ([L,B,M,H] at q == 1, pre-transposed [L,B,H,M] for
+            # primes — see flash_ring_prime's hoisting requirement)
+            if len(flash_kv) == 4:
+                k2, v2, k_sc, v_sc = flash_kv
+            else:
+                (k2, v2), k_sc, v_sc = flash_kv, None, None
             rk_full, cursor, lidx = mem
             M = k2.shape[2]
             interpret = jax.devices()[0].platform != "tpu"
@@ -258,7 +265,7 @@ class RelMultiHeadAttn(nn.Module):
                 mask_s = jnp.roll(mask[0, :M], cursor)
                 bias = jnp.where(mask_s[None, None], NEG_INF, bd_s * scale)
                 o_un, m_s, l_s = flash_ring_decode(
-                    k2, v2, qw0.astype(dtype), bias, lidx,
+                    k2, v2, qw0.astype(dtype), bias, lidx, k_sc, v_sc,
                     n_head=h, d_head=dh, scale=scale, interpret=interpret)
                 # distance-0 self column (never masked at q == 1)
                 s_x = ((qw0 * k_x[:, 0].astype(jnp.float32)).sum(-1)
@@ -274,7 +281,7 @@ class RelMultiHeadAttn(nn.Module):
                 bias = jnp.where(mask_s[None, None], NEG_INF, bd_s * scale)
                 o_un, m_s, l_s = flash_ring_prime(
                     k2, v2, qw.transpose(0, 2, 1, 3).astype(dtype), bias,
-                    lidx, n_head=h, d_head=dh, scale=scale,
+                    lidx, k_sc, v_sc, n_head=h, d_head=dh, scale=scale,
                     interpret=interpret)
                 # new tokens' q x q block (causal among themselves)
                 ac_x = jnp.einsum("bihd,bjhd->bhij", qw,
@@ -785,10 +792,12 @@ class TransformerXL(nn.Module):
         age rank (j - cursor) mod M, so the BD positional scores and the
         attention mask are the aligned ones column-rotated by ``cursor``
         (done inside the layer) — identical math, enforced against the
-        aligned path by tests/test_kv_cache.py. (A fused per-layer Pallas
-        ring kernel was tried and measured SLOWER than XLA's einsums here —
-        the batched AC contraction maps better to the MXU than to VPU lane
-        reductions — so the XLA path is the production one.)"""
+        aligned path by tests/test_kv_cache.py. The cache-column attention
+        runs in the fused Pallas ring-decode kernels when the shapes admit
+        them (``_use_flash_decode``; ops/flash_ring_decode.py — the stacked
+        cache streams HBM once per forward); otherwise the XLA einsum ring
+        branch below is the fallback (and the parity oracle for the
+        kernels, tests/test_flash_decode.py)."""
         cfg = self.cfg
         M = cfg.mem_len
         qlen = tokens.shape[1]
@@ -808,16 +817,27 @@ class TransformerXL(nn.Module):
         cursor_per_layer = jnp.broadcast_to(cursor, (cfg.n_layer,))
         quantized = "k_scale" in cache
         flash_kv = None
-        if quantized:
-            mem_xs = (cache["k"], cache["v"], cache["k_scale"],
-                      cache["v_scale"], rk_full, cursor_per_layer)
-        elif self._use_flash_decode(qlen):
+        if self._use_flash_decode(qlen):
             # native [L, B, M, H, Dh] layout straight into the kernel — a
             # head-dim-merging reshape here is a TPU relayout, not a
-            # bitcast: XLA materializes a full 3.75 GB cache copy per array
-            flash_kv = (cache["k"], cache["v"])
+            # bitcast: XLA materializes a full 3.75 GB cache copy per array.
+            # int8 caches ride with their dequant scales; primes need them
+            # head-major ([L,B,H,M]) and the transpose MUST happen here,
+            # outside the layer scan (inside it, it would re-materialize
+            # the scale buffers once per layer).
+            if quantized:
+                ks, vs = cache["k_scale"], cache["v_scale"]
+                if qlen > 1:
+                    ks = ks.transpose(0, 1, 3, 2)
+                    vs = vs.transpose(0, 1, 3, 2)
+                flash_kv = (cache["k"], cache["v"], ks, vs)
+            else:
+                flash_kv = (cache["k"], cache["v"])
             mem_xs = (rk_full, cursor_per_layer,
                       jnp.arange(cfg.n_layer, dtype=jnp.int32))
+        elif quantized:
+            mem_xs = (cache["k"], cache["v"], cache["k_scale"],
+                      cache["v_scale"], rk_full, cursor_per_layer)
         else:
             mem_xs = (cache["k"], cache["v"], rk_full, cursor_per_layer)
         h, (k_x, v_x) = self.layers(h, mem_xs, None, mask, r_w, r_r, True,
@@ -864,9 +884,9 @@ class TransformerXL(nn.Module):
 
     def _use_flash_decode(self, qlen: int) -> bool:
         """Gate for the fused Pallas ring-decode paths — q == 1 (per-action
-        token) or a small multi-token prime, exact-dtype cache, shapes the
-        kernels lower for; "auto" restricts to real TPUs ("on" runs
-        interpret mode off-TPU, for tests)."""
+        token) or a small multi-token prime, bf16 or int8(+scales) cache,
+        shapes the kernels lower for; "auto" restricts to real TPUs ("on"
+        runs interpret mode off-TPU, for tests)."""
         cfg = self.cfg
         from bdm_db1_tpu.ops.flash_ring_decode import MAX_PRIME_Q
 

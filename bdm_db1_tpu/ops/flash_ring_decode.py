@@ -72,13 +72,22 @@ def flash_ring_applicable(mem_len: int, n_head: int, d_head: int,
     )
 
 
-def _kernel_impl(lidx_ref, k_ref, v_ref, qwt_ref, bias_ref,
+def _decode_core(k_ref, v_ref, qwt_ref, bias_ref, ks_ref, vs_ref,
                  o_ref, om_ref, ol_ref, *, n_head: int, d_head: int):
     bm = k_ref.shape[2]
     rows = bm * n_head
+    quantized = ks_ref is not None
+    cdtype = qwt_ref.dtype
 
-    # [bm, H, Dh] -> [bm*H, Dh]: leading-dim merge, layout-free in VMEM
+    # [bm, H, Dh] -> [bm*H, Dh]: leading-dim merge, layout-free in VMEM.
+    # int8 cache: the convert is in-VMEM (int8 values are exact in bf16);
+    # the per-(position, head) dequant scale lands on the SCORES below —
+    # this is what the XLA int8 path cannot do without materializing an
+    # f32 cache copy per layer, and why int8 was slower at equal batch
+    # there (PERFORMANCE.md) while here HBM reads 1 byte/elem.
     k2 = k_ref[0, 0].reshape(rows, d_head)
+    if quantized:
+        k2 = k2.astype(cdtype)
     # all-pairs scores: row (m, h) x every head's query (scale pre-folded
     # into qwt by the wrapper)
     s_all = jax.lax.dot_general(
@@ -87,9 +96,17 @@ def _kernel_impl(lidx_ref, k_ref, v_ref, qwt_ref, bias_ref,
 
     # bias lands on the diagonal (key-head == query-head) entries; the
     # sublane-replicated expansion is layout-free and its off-diagonal
-    # values are junk that the mask below kills
-    bias_rep = jnp.broadcast_to(
-        bias_ref[0][:, None, :], (bm, n_head, n_head)).reshape(rows, n_head)
+    # values are junk that the mask below kills. (The dequant scales use
+    # the same expansion: a direct [bm, H] -> [bm*H, 1] reshape would move
+    # lanes into sublanes — a relayout Mosaic rejects.)
+    def rep(x2d):  # [bm, H] -> [bm*H, H], value at (m, h_r | h_q) = x[m, h_q]
+        return jnp.broadcast_to(
+            x2d[:, None, :], (bm, n_head, n_head)).reshape(rows, n_head)
+
+    bias_rep = rep(bias_ref[0])
+    if quantized:
+        # on the surviving diagonal h_q == h_r, so this IS the row scale
+        s_all = s_all * rep(ks_ref[0, 0])
     r_head = jax.lax.broadcasted_iota(jnp.int32, (rows, n_head), 0) % n_head
     g_head = jax.lax.broadcasted_iota(jnp.int32, (rows, n_head), 1)
     s_m = jnp.where(r_head == g_head, s_all + bias_rep, NEG_INF)
@@ -101,6 +118,13 @@ def _kernel_impl(lidx_ref, k_ref, v_ref, qwt_ref, bias_ref,
     l_blk = jnp.sum(p, axis=0, keepdims=True)             # [1, H]
 
     v2 = v_ref[0, 0].reshape(rows, d_head)
+    if quantized:
+        # V dequant scale folds into the PV operand per key row — NOT into
+        # the denominator l (normalization uses the raw softmax weights).
+        # Off-diagonal p entries are exactly zero, so the junk replicated
+        # scale values multiply zeros.
+        v2 = v2.astype(cdtype)
+        p = p * rep(vs_ref[0, 0])
     o_blk = jax.lax.dot_general(
         p.astype(v2.dtype), v2, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)               # [H, Dh]
@@ -108,6 +132,19 @@ def _kernel_impl(lidx_ref, k_ref, v_ref, qwt_ref, bias_ref,
     o_ref[...] = o_blk[None, None]
     om_ref[...] = m_blk[None, None]
     ol_ref[...] = l_blk[None, None]
+
+
+def _kernel_impl(lidx_ref, k_ref, v_ref, qwt_ref, bias_ref,
+                 o_ref, om_ref, ol_ref, *, n_head: int, d_head: int):
+    _decode_core(k_ref, v_ref, qwt_ref, bias_ref, None, None,
+                 o_ref, om_ref, ol_ref, n_head=n_head, d_head=d_head)
+
+
+def _kernel_impl_q(lidx_ref, k_ref, v_ref, ks_ref, vs_ref, qwt_ref,
+                   bias_ref, o_ref, om_ref, ol_ref, *, n_head: int,
+                   d_head: int):
+    _decode_core(k_ref, v_ref, qwt_ref, bias_ref, ks_ref, vs_ref,
+                 o_ref, om_ref, ol_ref, n_head=n_head, d_head=d_head)
 
 
 @functools.partial(
@@ -120,11 +157,17 @@ def flash_ring_decode(
     bias: jax.Array,        # [B, H, M] f32 — scaled BD term, ring order,
                             #   NEG_INF at banned slots
     lidx: jax.Array,        # [] or [1] int32 — layer to read
+    k_scale: jax.Array = None,  # [L, B, M, H] f32 — int8 dequant scales
+    v_scale: jax.Array = None,  # [L, B, M, H] f32
     *,
     n_head: int, d_head: int, scale: float,
     block_m: int = DEFAULT_BLOCK_M, interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Cache-column attention for one decode token over one layer's ring.
+
+    With ``k_scale``/``v_scale`` the caches are int8 and dequantization
+    happens in-kernel (scales on the scores / PV operand, never on the
+    cache read itself) — HBM streams the cache at 1 byte/element.
 
     Returns ``(o_unnorm [B, H, Dh] f32, m [B, H, 1] f32, l [B, H, 1] f32)``
     — the UNNORMALIZED online-softmax accumulator and its row stats; fold
@@ -132,6 +175,7 @@ def flash_ring_decode(
     """
     L, B, M, H, Dh = k_cache.shape
     assert (H, Dh) == (n_head, d_head), (k_cache.shape, n_head, d_head)
+    quantized = k_scale is not None
     bm = min(block_m, M)
     assert M % bm == 0, (M, bm)
     nm = M // bm
@@ -144,17 +188,28 @@ def flash_ring_decode(
     grid = (B, nm)
     kv_spec = pl.BlockSpec(
         (1, 1, bm, H, Dh), lambda b, i, l: (l[0], b, i, 0, 0))
+    sc_spec = pl.BlockSpec((1, 1, bm, H), lambda b, i, l: (l[0], b, i, 0))
     qwt_spec = pl.BlockSpec((1, Dh, H), lambda b, i, l: (b, 0, 0))
     bias_spec = pl.BlockSpec((1, bm, H), lambda b, i, l: (b, i, 0))
     o_spec = pl.BlockSpec((1, 1, H, Dh), lambda b, i, l: (b, i, 0, 0))
     stat_spec = pl.BlockSpec((1, 1, 1, H), lambda b, i, l: (b, i, 0, 0))
 
+    if quantized:
+        kern = functools.partial(_kernel_impl_q, n_head=n_head,
+                                 d_head=d_head)
+        in_specs = [kv_spec, kv_spec, sc_spec, sc_spec, qwt_spec, bias_spec]
+        operands = (lidx, k_cache, v_cache, k_scale, v_scale, qwt, bias_t)
+    else:
+        kern = functools.partial(_kernel_impl, n_head=n_head, d_head=d_head)
+        in_specs = [kv_spec, kv_spec, qwt_spec, bias_spec]
+        operands = (lidx, k_cache, v_cache, qwt, bias_t)
+
     o_part, m_part, l_part = pl.pallas_call(
-        functools.partial(_kernel_impl, n_head=n_head, d_head=d_head),
+        kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
-            in_specs=[kv_spec, kv_spec, qwt_spec, bias_spec],
+            in_specs=in_specs,
             out_specs=[o_spec, stat_spec, stat_spec],
         ),
         out_shape=[
@@ -165,7 +220,7 @@ def flash_ring_decode(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(lidx, k_cache, v_cache, qwt, bias_t)
+    )(*operands)
 
     # merge the nm block partials in XLA — a few hundred KB, negligible
     # next to the GB-scale cache stream the kernel just did
@@ -177,29 +232,52 @@ def flash_ring_decode(
     return o_un, m_f[..., None], l_f[..., None]
 
 
-def _prime_kernel(lidx_ref, k_ref, v_ref, qw_ref, bias_ref,
-                  o_ref, om_ref, ol_ref, *, n_head: int):
+def _prime_core(k_ref, v_ref, qw_ref, bias_ref, ks_ref, vs_ref,
+                o_ref, om_ref, ol_ref, *, n_head: int):
     # per-head flash tiles in the [Q, bm] orientation of ops/
     # pallas_attention.py (scores "nt", PV "nn" — both MXU-native); the
     # strided [.., h, :] VMEM slices cost ~1 vreg row per cycle, which at
     # q >= 2 amortizes over the q query rows (xprof: 1.21 ms/layer-call at
     # q 18 b40 vs the XLA ring branch's ~2.9 ms)
+    quantized = ks_ref is not None
+    cdtype = qw_ref.dtype
     for h in range(n_head):
         k_h = k_ref[0, 0, :, h, :]                        # [bm, Dh]
+        if quantized:
+            k_h = k_h.astype(cdtype)
         s = jax.lax.dot_general(
             qw_ref[0, h], k_h, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)           # [Q, bm]
+        if quantized:
+            # scales arrive [.., H, bm] so this slice is lane-contiguous
+            s = s * ks_ref[0, 0, h][None, :]
         s = s + bias_ref[0, h]
         m_b = jnp.max(s, axis=1, keepdims=True)           # [Q, 1]
         p = jnp.exp(s - m_b)
         l_b = jnp.sum(p, axis=1, keepdims=True)
         v_h = v_ref[0, 0, :, h, :]
+        if quantized:
+            # V dequant scale on the PV operand, not the denominator l
+            v_h = v_h.astype(cdtype)
+            p = p * vs_ref[0, 0, h][None, :]
         pv = jax.lax.dot_general(
             p.astype(v_h.dtype), v_h, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)           # [Q, Dh]
         o_ref[0, 0, h] = pv
         om_ref[0, 0, h] = m_b
         ol_ref[0, 0, h] = l_b
+
+
+def _prime_kernel(lidx_ref, k_ref, v_ref, qw_ref, bias_ref,
+                  o_ref, om_ref, ol_ref, *, n_head: int):
+    _prime_core(k_ref, v_ref, qw_ref, bias_ref, None, None,
+                o_ref, om_ref, ol_ref, n_head=n_head)
+
+
+def _prime_kernel_q(lidx_ref, k_ref, v_ref, ks_ref, vs_ref, qw_ref,
+                    bias_ref, o_ref, om_ref, ol_ref, *, n_head: int):
+    _prime_core(k_ref, v_ref, qw_ref, bias_ref, ks_ref, vs_ref,
+                o_ref, om_ref, ol_ref, n_head=n_head)
 
 
 MAX_PRIME_Q = 32
@@ -215,12 +293,22 @@ def flash_ring_prime(
     bias: jax.Array,        # [B, H, Q, M] f32 — scaled BD term, ring
                             #   order, NEG_INF at banned slots
     lidx: jax.Array,        # [] or [1] int32 — layer to read
+    k_scale_t: jax.Array = None,  # [L, B, H, M] f32 — int8 dequant scales,
+                                  #   PRE-TRANSPOSED by the caller
+    v_scale_t: jax.Array = None,  # [L, B, H, M] f32
     *,
     n_head: int, d_head: int, scale: float,
     block_m: int = DEFAULT_BLOCK_M, interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Cache-column attention for a small multi-token prime (2 <= Q <= 32)
     over one layer's ring — the per-env-step observation prime.
+
+    With ``k_scale_t``/``v_scale_t`` the caches are int8, dequantized
+    in-kernel (see :func:`flash_ring_decode`). The scales arrive in
+    [L, B, H, M] order — head-major, so the kernel's per-head slice is
+    lane-contiguous — and MUST be transposed by the caller OUTSIDE the
+    layer scan (this function runs once per layer inside it; a transpose
+    here would re-materialize the full scale buffers L times per forward).
 
     Returns ``(o_unnorm [B, H, Q, Dh] f32, m [B, H, Q], l [B, H, Q])``;
     fold in the new tokens' q x q self block with
@@ -230,6 +318,9 @@ def flash_ring_prime(
     Q = qw.shape[2]
     assert (H, Dh) == (n_head, d_head), (k_cache.shape, n_head, d_head)
     assert 2 <= Q <= MAX_PRIME_Q, Q
+    quantized = k_scale_t is not None
+    if quantized:
+        assert k_scale_t.shape == (L, B, H, M), k_scale_t.shape
     bm = min(block_m, M)
     assert M % bm == 0, (M, bm)
     nm = M // bm
@@ -239,17 +330,27 @@ def flash_ring_prime(
     grid = (B, nm)
     kv_spec = pl.BlockSpec(
         (1, 1, bm, H, Dh), lambda b, i, l: (l[0], b, i, 0, 0))
+    sc_spec = pl.BlockSpec((1, 1, H, bm), lambda b, i, l: (l[0], b, 0, i))
     qw_spec = pl.BlockSpec((1, H, Q, Dh), lambda b, i, l: (b, 0, 0, 0))
     bias_spec = pl.BlockSpec((1, H, Q, bm), lambda b, i, l: (b, 0, 0, i))
     o_spec = pl.BlockSpec((1, 1, H, Q, Dh), lambda b, i, l: (b, i, 0, 0, 0))
     stat_spec = pl.BlockSpec((1, 1, H, Q, 1), lambda b, i, l: (b, i, 0, 0, 0))
 
+    if quantized:
+        kern = functools.partial(_prime_kernel_q, n_head=n_head)
+        in_specs = [kv_spec, kv_spec, sc_spec, sc_spec, qw_spec, bias_spec]
+        operands = (lidx, k_cache, v_cache, k_scale_t, v_scale_t, qw, bias)
+    else:
+        kern = functools.partial(_prime_kernel, n_head=n_head)
+        in_specs = [kv_spec, kv_spec, qw_spec, bias_spec]
+        operands = (lidx, k_cache, v_cache, qw, bias)
+
     o_part, m_part, l_part = pl.pallas_call(
-        functools.partial(_prime_kernel, n_head=n_head),
+        kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
-            in_specs=[kv_spec, kv_spec, qw_spec, bias_spec],
+            in_specs=in_specs,
             out_specs=[o_spec, stat_spec, stat_spec],
         ),
         out_shape=[
@@ -260,7 +361,7 @@ def flash_ring_prime(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(lidx, k_cache, v_cache, qw, bias)
+    )(*operands)
 
     m_p = m_part[..., 0]                                   # [B, nm, H, Q]
     m_f = jnp.max(m_p, axis=1)                             # [B, H, Q]

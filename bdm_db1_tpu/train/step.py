@@ -44,6 +44,8 @@ def _decay_mask(params):
 
 
 def make_optimizer(cfg: OptimizerConfig, train_iters: int) -> optax.GradientTransformation:
+    if cfg.fused and cfg.optimizer == "adamw":
+        return fused_adamw(cfg, train_iters)
     lr = lr_schedule(cfg, train_iters)
     wd = wd_schedule(cfg, train_iters)
     parts = []
@@ -62,6 +64,69 @@ def make_optimizer(cfg: OptimizerConfig, train_iters: int) -> optax.GradientTran
             _ScheduledWeightDecay(wd), _decay_mask))
     parts.append(_scale_by_schedule_neg(lr))
     return optax.chain(*parts)
+
+
+def fused_adamw(cfg: OptimizerConfig,
+                train_iters: int) -> optax.GradientTransformation:
+    """Single-tree_map AdamW: clip-scale, moment updates, bias correction,
+    decoupled weight decay and the LR schedule all land in ONE elementwise
+    pass per parameter leaf (state: one ``optax.ScaleByAdamState``).
+
+    Mathematically the same update as the 4-stage chain in
+    :func:`make_optimizer` (tests/test_train_step.py pins them together);
+    per-leaf math runs in f32 regardless of storage dtype, so bf16-moment
+    runs differ from the chain only by elementwise rounding. The point is
+    HBM: the chain's staged ``updates`` trees give XLA fusion barriers at
+    every optax stage boundary, and at 1.2B each materialized stage is
+    another ~4.8 GB round trip.
+    """
+    lr = lr_schedule(cfg, train_iters)
+    wd = wd_schedule(cfg, train_iters)
+    b1, b2, eps = cfg.adam_beta1, cfg.adam_beta2, cfg.adam_eps
+    mu_dtype = jnp.dtype(cfg.adam_mu_dtype) if cfg.adam_mu_dtype else None
+
+    def init(params):
+        mu = jax.tree.map(
+            lambda p: jnp.zeros_like(p, dtype=mu_dtype or p.dtype), params)
+        nu = jax.tree.map(jnp.zeros_like, params)
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32), mu=mu, nu=nu)
+
+    def update(grads, state, params):
+        assert params is not None, "fused_adamw needs params (weight decay)"
+        # schedules see the pre-increment count (chain parity); bias
+        # correction the post-increment one (optax scale_by_adam parity)
+        lr_t = lr(state.count).astype(jnp.float32)
+        wd_t = wd(state.count).astype(jnp.float32)
+        count = optax.safe_increment(state.count)
+        cf = count.astype(jnp.float32)
+        b1c = 1.0 - b1 ** cf
+        b2c = 1.0 - b2 ** cf
+        if cfg.clip_grad and cfg.clip_grad > 0:
+            gnorm = optax.global_norm(grads)
+            clip_s = jnp.where(gnorm < cfg.clip_grad, 1.0,
+                               cfg.clip_grad / gnorm).astype(jnp.float32)
+        else:
+            clip_s = jnp.float32(1.0)
+
+        def leaf(g, m, v, p):
+            gf = g.astype(jnp.float32) * clip_s
+            mf = b1 * m.astype(jnp.float32) + (1.0 - b1) * gf
+            vf = b2 * v.astype(jnp.float32) + (1.0 - b2) * gf * gf
+            u = (mf / b1c) / (jnp.sqrt(vf / b2c) + eps)
+            if cfg.weight_decay and jnp.ndim(p) >= 2:  # matrices only
+                u = u + wd_t * p.astype(jnp.float32)
+            return (mf.astype(m.dtype), vf.astype(v.dtype),
+                    (-lr_t * u).astype(p.dtype))
+
+        out = jax.tree.map(leaf, grads, state.mu, state.nu, params)
+        is_triple = lambda t: isinstance(t, tuple) and len(t) == 3
+        mu = jax.tree.map(lambda t: t[0], out, is_leaf=is_triple)
+        nu = jax.tree.map(lambda t: t[1], out, is_leaf=is_triple)
+        updates = jax.tree.map(lambda t: t[2], out, is_leaf=is_triple)
+        return updates, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
 
 
 def _scale_by_schedule_neg(sched) -> optax.GradientTransformation:

@@ -101,6 +101,10 @@ def main() -> None:
                     choices=["dots", "dots_narrow", "full"],
                     help="train mode: which activations survive to backward")
     ap.add_argument("--no-remat", action="store_true")
+    ap.add_argument("--fused-optimizer", action="store_true",
+                    help="train mode: single-tree_map AdamW "
+                         "(train/step.py fused_adamw) instead of the "
+                         "optax chain")
     ap.add_argument("--no-dropout", action="store_true",
                     help="train mode: zero all dropout rates (diagnostic: "
                          "isolates the rng/mask cost)")
@@ -381,6 +385,7 @@ def bench_train(args) -> None:
         cfg.model.remat = not args.no_remat
         cfg.model.remat_policy = args.remat_policy
         cfg.train.optimizer.adam_mu_dtype = "bfloat16"
+        cfg.train.optimizer.fused = args.fused_optimizer
         if args.no_dropout:
             cfg.model.drop = cfg.model.embd_pdrop = 0.0
             cfg.model.resid_pdrop = cfg.model.attn_pdrop = 0.0

@@ -104,3 +104,52 @@ def test_flash_ring_matches_xla_ring(same_length):
             np.asarray(ring_b["k"]), np.asarray(ring_a["k"]),
             rtol=5e-6, atol=5e-6)
         assert int(ring_b["cursor"]) == int(ring_a["cursor"])
+
+
+def test_flash_ring_int8_matches_xla_int8():
+    """In-kernel-dequant flash path == the XLA int8 ring branch, fed the
+    SAME quantized cache every step (identical caches by construction, so
+    tight logit tolerances check the forward math alone; the write path is
+    shared code). Covers the q == 1 kernel and the q > 1 prime kernel."""
+    import dataclasses
+
+    cfg = db1_tiny()
+    cfg.model.dtype = "float32"
+    cfg.model.decode_cache_dtype = "int8"
+    cfg_off = dataclasses.replace(cfg.model, decode_flash="off")
+    cfg_on = dataclasses.replace(cfg.model, decode_flash="on")
+    model_xla = TransformerXL(cfg_off, cfg.vocab, cfg.vision)
+    model_fl = TransformerXL(cfg_on, cfg.vocab, cfg.vision)
+
+    layout = cfg.vocab.layout()
+    tok0 = jnp.zeros((2, cfg.model.n_position), jnp.int32)
+    params = model_xla.init(jax.random.PRNGKey(0), {"rl": RLTaskBatch(
+        tokens=tok0, position_id=tok0, loss_mask=tok0, label=tok0)})["params"]
+
+    ring = model_xla.apply({"params": params}, 2,
+                           method=TransformerXL.init_kv_cache_ring)
+    assert ring["k"].dtype == jnp.int8 and "k_scale" in ring
+
+    rng = np.random.RandomState(3)
+    rk1 = model_xla.apply({"params": params}, 1,
+                          method=TransformerXL.precompute_rk)
+    rk7 = model_xla.apply({"params": params}, 7,
+                          method=TransformerXL.precompute_rk)
+    # interleave q == 7 primes with q == 1 steps; > mem_len total so the
+    # cursor wraps; both models read the same (XLA-written) ring each step
+    for step in range(12):
+        q = 7 if step % 4 == 0 else 1
+        t = jnp.asarray(
+            rng.randint(0, layout.total_vocab_size, (2, q)), jnp.int32)
+        p = jnp.asarray(rng.randint(0, 8, (2, q)), jnp.int32)
+        rk = rk7 if q == 7 else rk1
+        lg_fl, ring_fl = model_fl.apply(
+            {"params": params}, t, p, ring, rk,
+            method=TransformerXL.decode_rl_kv_ring)
+        lg_xla, ring = model_xla.apply(
+            {"params": params}, t, p, ring, rk,
+            method=TransformerXL.decode_rl_kv_ring)
+        np.testing.assert_allclose(
+            np.asarray(lg_fl), np.asarray(lg_xla), rtol=5e-5, atol=5e-5,
+            err_msg=f"step {step} q {q}")
+        assert int(ring_fl["cursor"]) == int(ring["cursor"])

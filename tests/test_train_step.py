@@ -62,6 +62,41 @@ def test_single_device_train_step_loss_decreases():
     assert int(state.step) == 8
 
 
+def test_fused_adamw_matches_chain():
+    """fused_adamw (one tree_map, f32 leaf math) == the 4-stage optax chain
+    on f32 params: same params after several steps, including warmup (lr=0
+    step), clipping (first grads exceed the tiny clip), weight decay on
+    matrices, and the cosine schedule."""
+    cfg = db1_tiny()
+    cfg.model.dtype = "float32"
+    model = TransformerXL(cfg.model, cfg.vocab, cfg.vision)
+    layout = cfg.vocab.layout()
+    batch = _tiny_batch(layout)
+    ocfg = OptimizerConfig(lr=1e-2, min_lr=1e-3, lr_warmup_iters=2,
+                           lr_decay_style="cosine", clip_grad=0.05,
+                           weight_decay=0.1)
+    import dataclasses
+
+    tx_chain = make_optimizer(ocfg, 10)
+    tx_fused = make_optimizer(dataclasses.replace(ocfg, fused=True), 10)
+
+    state_c = init_train_state(model, tx_chain, jax.random.PRNGKey(0), batch)
+    state_f = init_train_state(model, tx_fused, jax.random.PRNGKey(0), batch)
+    step_c = jax.jit(make_train_step(model, tx_chain))
+    step_f = jax.jit(make_train_step(model, tx_fused))
+    rng = jax.random.PRNGKey(1)
+    for i in range(5):
+        state_c, m_c = step_c(state_c, batch, rng)
+        state_f, m_f = step_f(state_f, batch, rng)
+    pc = jax.tree.leaves(state_c.params)
+    pf = jax.tree.leaves(state_f.params)
+    for a, b in zip(pc, pf):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-5, atol=2e-6)
+    # moments carried too (fused state is one ScaleByAdamState)
+    assert int(state_f.opt_state.count) == 5
+
+
 def test_train_step_with_rbg_rng():
     """The default training rng impl ("rbg" — TPU hardware RngBitGenerator,
     ~16% of the 1.2B step vs threefry masks) must drive the train step on
