@@ -1,6 +1,6 @@
 """Headline benchmarks of the 1.2B flagship on one TPU chip.
 
-Bare ``python bench.py`` emits FOUR JSON lines
+Bare ``python bench.py`` emits FIVE JSON lines
 {"metric", "value", "unit", "vs_baseline", ...}:
 
   1. pretrain tokens/sec/chip with analytic-FLOPs MFU (train step:
@@ -8,9 +8,11 @@ Bare ``python bench.py`` emits FOUR JSON lines
   2. production-path RL eval actions/sec (end-to-end
      evaluate_envs_lockstep wall clock — the number the CLI delivers),
   3. image-geometry (atari) RL eval actions/sec,
-  4. RL-eval decode actions/sec, proprioceptive geometry (the headline
-     metric, printed LAST so drivers that parse the final line keep it
-     as the headline).
+  4. int8-cache RL eval actions/sec at batch 60 (the single-chip peak;
+     tolerance path, in-kernel dequant),
+  5. RL-eval decode actions/sec, proprioceptive geometry, exact bf16
+     cache (the headline metric, printed LAST so drivers that parse the
+     final line keep it as the headline).
 
 ``--mode eval|train|production`` and ``--geometry mujoco|atari`` select
 subsets.
@@ -134,6 +136,19 @@ def main() -> None:
         atari_args = copy.copy(args)
         atari_args.batch = None
         bench_eval(atari_args, geometry="atari")
+    if args.mode == "both" and args.geometry == "mujoco" \
+            and not args.cache_dtype:
+        # int8-cache peak: in-kernel dequant (ops/flash_ring_decode.py)
+        # halves the ring cache so batch 60 fits one chip — the
+        # single-chip actions/sec peak (tolerance path, not bit-parity;
+        # scripts/evaluate_rl_1.2B_int8.sh). Before the bf16 headline so
+        # the final line stays the exact-cache metric.
+        import copy
+
+        int8_args = copy.copy(args)
+        int8_args.cache_dtype = "int8"
+        int8_args.batch = None if args.smoke else 60
+        bench_eval(int8_args, tag="_int8")
     if args.mode in ("eval", "both"):
         bench_eval(args)
 
@@ -233,7 +248,7 @@ def _eval_setup(args, n_envs: int, episode_len: int, geometry: str):
     return cfg, model, params, ds, tenvs, env_fn
 
 
-def bench_eval(args, geometry=None) -> None:
+def bench_eval(args, geometry=None, tag: str = "") -> None:
     """Device-path actions/sec: B lockstep envs driven manually so the
     steady-state device call is what's timed (host env stepping excluded)."""
     if args.smoke:
@@ -286,7 +301,7 @@ def bench_eval(args, geometry=None) -> None:
 
     mean_dt = float(np.mean(times))
     actions_per_sec = B / mean_dt
-    suffix = "" if geometry == "mujoco" else f"_{geometry}"
+    suffix = ("" if geometry == "mujoco" else f"_{geometry}") + tag
     print(json.dumps({
         "metric": (f"rl_eval_actions_per_sec_1p2b{suffix}"
                    if not args.smoke
