@@ -233,7 +233,7 @@ class RelMultiHeadAttn(nn.Module):
             from bdm_db1_tpu.ops.attention import rel_shift_sliced
             from bdm_db1_tpu.ops.flash_ring_decode import (
                 NEG_INF, combine_new_columns, combine_self_column,
-                flash_ring_decode, flash_ring_prime,
+                flash_ring_decode, flash_ring_prime, flash_ring_prime_ap,
             )
 
             # 2-tuple: exact-dtype caches; 4-tuple: int8 caches + dequant
@@ -279,10 +279,18 @@ class RelMultiHeadAttn(nn.Module):
                 bd_s = jnp.roll(bd[..., :M], cursor, axis=-1)
                 mask_s = jnp.roll(mask[:, :M], cursor, axis=-1)  # [Q, M]
                 bias = jnp.where(mask_s[None, None], NEG_INF, bd_s * scale)
-                o_un, m_s, l_s = flash_ring_prime(
-                    k2, v2, qw.transpose(0, 2, 1, 3).astype(dtype), bias,
-                    lidx, k_sc, v_sc, n_head=h, d_head=dh, scale=scale,
-                    interpret=interpret)
+                qwt = qw.transpose(0, 2, 1, 3).astype(dtype)
+                if k_sc is None:
+                    # exact-dtype cache: all-pairs kernel (one wide MXU
+                    # dot; the per-head loop's strided VMEM slices cost
+                    # ~3x the HBM floor per layer-call)
+                    o_un, m_s, l_s = flash_ring_prime_ap(
+                        k2, v2, qwt, bias, lidx, n_head=h, d_head=dh,
+                        scale=scale, interpret=interpret)
+                else:
+                    o_un, m_s, l_s = flash_ring_prime(
+                        k2, v2, qwt, bias, lidx, k_sc, v_sc, n_head=h,
+                        d_head=dh, scale=scale, interpret=interpret)
                 # new tokens' q x q block (causal among themselves)
                 ac_x = jnp.einsum("bihd,bjhd->bhij", qw,
                                   k_x.astype(jnp.float32))

@@ -283,6 +283,127 @@ def _prime_kernel_q(lidx_ref, k_ref, v_ref, ks_ref, vs_ref, qw_ref,
 MAX_PRIME_Q = 32
 
 
+def _prime_ap_kernel(lidx_ref, k_ref, v_ref, qwt_ref, bias_ref,
+                     o_ref, om_ref, ol_ref, *, n_head: int, n_q: int):
+    """All-pairs prime: the q == 1 kernel's design generalized to H*Q
+    columns — ONE wide MXU dot instead of the per-head loop's strided
+    [.., h, :] VMEM slices (those gather ~1 vreg row/cycle and measured
+    1.21 ms/layer-call at q 18 b40 vs the ~0.41 ms HBM floor). Columns are
+    (head, query) ordered: col = h * Q + q, so every split back to [H, Q]
+    happens on LEADING dims (in XLA, outside the kernel)."""
+    bm = k_ref.shape[2]
+    d_head = k_ref.shape[4]
+    rows = bm * n_head
+    hq = n_head * n_q
+
+    k2 = k_ref[0, 0].reshape(rows, d_head)
+    s_all = jax.lax.dot_general(
+        k2, qwt_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # [rows, HQ]
+
+    bias_rep = jnp.broadcast_to(
+        bias_ref[0][:, None, :], (bm, n_head, hq)).reshape(rows, hq)
+    # diagonal selector without an integer divide: column c belongs to
+    # query-head c // Q, i.e. r_head*Q <= c < (r_head+1)*Q
+    r_head = jax.lax.broadcasted_iota(jnp.int32, (rows, hq), 0) % n_head
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, hq), 1)
+    lo = r_head * n_q
+    s_m = jnp.where((col >= lo) & (col < lo + n_q),
+                    s_all + bias_rep, NEG_INF)
+
+    m_blk = jnp.max(s_m, axis=0, keepdims=True)           # [1, HQ]
+    p = jnp.exp(s_m - m_blk)
+    l_blk = jnp.sum(p, axis=0, keepdims=True)             # [1, HQ]
+
+    v2 = v_ref[0, 0].reshape(rows, d_head)
+    o_blk = jax.lax.dot_general(
+        p.astype(v2.dtype), v2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # [HQ, Dh]
+
+    o_ref[...] = o_blk[None, None]
+    om_ref[...] = m_blk[None, None]
+    ol_ref[...] = l_blk[None, None]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_head", "d_head", "scale", "block_m", "interpret"))
+def flash_ring_prime_ap(
+    k_cache: jax.Array,     # [L, B, M, H, Dh] (stacked ring cache)
+    v_cache: jax.Array,     # [L, B, M, H, Dh]
+    qw: jax.Array,          # [B, H, Q, Dh] — (q + r_w_bias), compute dtype
+    bias: jax.Array,        # [B, H, Q, M] f32 — scaled BD term, ring
+                            #   order, NEG_INF at banned slots
+    lidx: jax.Array,        # [] or [1] int32 — layer to read
+    *,
+    n_head: int, d_head: int, scale: float,
+    block_m: int = DEFAULT_BLOCK_M, interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """All-pairs variant of :func:`flash_ring_prime` (exact-dtype caches
+    only — the int8 dequant scales have no layout-free [rows, H*Q]
+    replication, so the quantized path keeps the per-head kernel).
+
+    Same contract as :func:`flash_ring_prime`: returns
+    ``(o_unnorm [B, H, Q, Dh] f32, m [B, H, Q], l [B, H, Q])``.
+    """
+    L, B, M, H, Dh = k_cache.shape
+    Q = qw.shape[2]
+    HQ = H * Q
+    assert (H, Dh) == (n_head, d_head), (k_cache.shape, n_head, d_head)
+    assert 2 <= Q <= MAX_PRIME_Q, Q
+    # adaptive block: the [bm*H, H*Q] f32 score+prob pair plus the
+    # double-buffered K/V blocks must fit ~16 MB VMEM with headroom
+    bm = min(block_m, M)
+    while bm > 64 and (bm * H * HQ * 8
+                       + 4 * bm * H * Dh * k_cache.dtype.itemsize
+                       ) > 10 * 2**20:
+        bm //= 2
+    assert M % bm == 0, (M, bm)
+    nm = M // bm
+    lidx = jnp.reshape(lidx.astype(jnp.int32), (1,))
+
+    # scale folds into the transposed query operand; (h, q) column order
+    qwt = (jnp.asarray(scale, qw.dtype)
+           * qw).transpose(0, 3, 1, 2).reshape(B, Dh, HQ)
+    bias_t = bias.transpose(0, 3, 1, 2).reshape(B, M, HQ)
+
+    grid = (B, nm)
+    kv_spec = pl.BlockSpec(
+        (1, 1, bm, H, Dh), lambda b, i, l: (l[0], b, i, 0, 0))
+    qwt_spec = pl.BlockSpec((1, Dh, HQ), lambda b, i, l: (b, 0, 0))
+    bias_spec = pl.BlockSpec((1, bm, HQ), lambda b, i, l: (b, i, 0))
+    o_spec = pl.BlockSpec((1, 1, HQ, Dh), lambda b, i, l: (b, i, 0, 0))
+    stat_spec = pl.BlockSpec((1, 1, 1, HQ), lambda b, i, l: (b, i, 0, 0))
+
+    o_part, m_part, l_part = pl.pallas_call(
+        functools.partial(_prime_ap_kernel, n_head=n_head, n_q=Q),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[kv_spec, kv_spec, qwt_spec, bias_spec],
+            out_specs=[o_spec, stat_spec, stat_spec],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, nm, HQ, Dh), jnp.float32),
+            jax.ShapeDtypeStruct((B, nm, 1, HQ), jnp.float32),
+            jax.ShapeDtypeStruct((B, nm, 1, HQ), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(lidx, k_cache, v_cache, qwt, bias_t)
+
+    # (h, q) columns split back on leading dims in XLA
+    m_p = m_part[:, :, 0].reshape(B, nm, H, Q)             # [B, nm, H, Q]
+    m_f = jnp.max(m_p, axis=1)                             # [B, H, Q]
+    w = jnp.exp(m_p - m_f[:, None])                        # [B, nm, H, Q]
+    o_r = o_part.reshape(B, nm, H, Q, Dh)
+    o_un = jnp.einsum("bnhqd,bnhq->bhqd", o_r, w)
+    l_f = jnp.einsum("bnhq,bnhq->bhq",
+                     l_part[:, :, 0].reshape(B, nm, H, Q), w)
+    return o_un, m_f, l_f
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_head", "d_head", "scale", "block_m", "interpret"))

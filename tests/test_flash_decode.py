@@ -153,3 +153,44 @@ def test_flash_ring_int8_matches_xla_int8():
             np.asarray(lg_fl), np.asarray(lg_xla), rtol=5e-5, atol=5e-5,
             err_msg=f"step {step} q {q}")
         assert int(ring_fl["cursor"]) == int(ring["cursor"])
+
+
+def test_prime_allpairs_matches_perhead():
+    """flash_ring_prime_ap (all-pairs, one wide MXU dot) == flash_ring_prime
+    (per-head tiles) on the same exact-dtype cache — including banned ring
+    slots and a fully-banned (head, query) column, whose junk both kernels
+    must confine to a -1e30 block max that the epilogue zeroes."""
+    from bdm_db1_tpu.ops.flash_ring_decode import (
+        flash_ring_prime, flash_ring_prime_ap,
+    )
+
+    L, B, M, H, Dh, Q = 3, 2, 16, 4, 8, 5
+    rng = np.random.RandomState(1)
+    k2 = jnp.asarray(rng.randn(L, B, M, H, Dh), jnp.float32)
+    v2 = jnp.asarray(rng.randn(L, B, M, H, Dh), jnp.float32)
+    qw = jnp.asarray(rng.randn(B, H, Q, Dh), jnp.float32)
+    bias = jnp.asarray(rng.randn(B, H, Q, M), jnp.float32)
+    bias = bias.at[:, :, :, 3].set(-1e30)        # one banned ring slot
+    bias = bias.at[:, 2, 1, :].set(-1e30)        # fully-banned column
+    scale = 1.0 / np.sqrt(Dh)
+    lidx = jnp.array(2, jnp.int32)
+
+    o_a, m_a, l_a = flash_ring_prime_ap(
+        k2, v2, qw, bias, lidx, n_head=H, d_head=Dh, scale=scale,
+        block_m=8, interpret=True)
+    o_p, m_p, l_p = flash_ring_prime(
+        k2, v2, qw, bias, lidx, n_head=H, d_head=Dh, scale=scale,
+        block_m=8, interpret=True)
+
+    # normalized outputs agree everywhere the column is live
+    live = np.asarray(m_p) > -1e29
+    out_a = np.asarray(o_a) / np.asarray(l_a)[..., None]
+    out_p = np.asarray(o_p) / np.asarray(l_p)[..., None]
+    np.testing.assert_allclose(out_a[live], out_p[live],
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(m_a)[live], np.asarray(m_p)[live],
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(l_a)[live], np.asarray(l_p)[live],
+                               rtol=2e-5, atol=2e-5)
+    # the dead column's max stays at the sentinel so the epilogue zeroes it
+    assert (np.asarray(m_a)[~live] < -1e29).all()
