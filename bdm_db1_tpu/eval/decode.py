@@ -114,13 +114,23 @@ class ActionDecoder:
         # K/V-cache fast path (exact for post-LN, ~10x cheaper per token);
         # pre-LN falls back to reference-style hidden-state memory.
         self.use_kv_cache = not model.cfg.pre_lnorm and model.cfg.mem_len > 0
+        # last-action deferral (decode_async defer_last/deferred_tok): the
+        # final scan iteration of a decode exists only to fold action token
+        # n-1 into the cache (its logits are a throwaway); deferring that
+        # token into the NEXT call's prime saves one full forward per env
+        # step (1 of ~7 at the flagship geometry). Exact under the same
+        # condition as chunked priming: same_length ring attention, where
+        # every query sees exactly mem_len keys regardless of how the token
+        # stream is split into forwards.
+        self.defers = self.use_kv_cache and model.cfg.same_length
         # donate the memory/cache carry: without this every step copies the
         # whole [n_layer, B, mem_len, ...] cache (3.2GB at 1.2B, batch 16)
         self._jit_decode = jax.jit(
             partial(_decode_step, model, self.action_length,
                     self.use_kv_cache),
             donate_argnums=(3,),
-            static_argnums=(8,),  # frame_splits: per-slice image counts
+            # frame_splits: per-slice image counts; defer_last: scan length
+            static_argnums=(8, 9),
         )
         # r_net(r) is input-independent: precompute per decode geometry
         # (one [n_layer, klen, H, Dh] tensor per qlen) and reuse every step.
@@ -161,6 +171,8 @@ class ActionDecoder:
         mems,                          # [n_layer, B, mem_len, ...]
         prime_images: Optional[np.ndarray] = None,  # [(B,) T, H, W, C]
         env_action_mask=None,
+        deferred_tok: Optional[np.ndarray] = None,
+        defer_last: bool = False,
     ) -> Tuple[np.ndarray, object]:
         """Greedy-decode one action per batch row; returns (action token ids
         [action_length] or [B, action_length], new mems). Prime sequences
@@ -169,7 +181,8 @@ class ActionDecoder:
         one env per process, evaluate_rl.py:452-466)."""
         single = prime_tokens.ndim == 1
         act, new_mems = self.decode_async(
-            prime_tokens, mems, prime_images, env_action_mask)
+            prime_tokens, mems, prime_images, env_action_mask,
+            deferred_tok=deferred_tok, defer_last=defer_last)
         act = np.asarray(act)
         return (act[0] if single else act), new_mems
 
@@ -179,27 +192,47 @@ class ActionDecoder:
         mems,
         prime_images: Optional[np.ndarray] = None,
         env_action_mask=None,
+        deferred_tok: Optional[np.ndarray] = None,
+        defer_last: bool = False,
     ) -> Tuple[object, object]:
         """Like :meth:`decode` but returns the action tokens as a device
         array WITHOUT blocking — the dispatch is async, so the caller can
         overlap host work (stepping another cohort's envs) with this
-        cohort's device compute (eval/harness.py interleaved lockstep)."""
+        cohort's device compute (eval/harness.py interleaved lockstep).
+
+        ``defer_last=True`` (only when :attr:`defers`) skips the trailing
+        cache-fold forward; the caller MUST feed this call's last action
+        token back as the next call's ``deferred_tok`` ([B] or [] int), and
+        the episode's token stream stays identical — the deferred token is
+        simply written by the next prime instead of its own forward.
+        """
         single = prime_tokens.ndim == 1
         if single:
             prime_tokens = prime_tokens[None]
             if prime_images is not None:
                 prime_images = prime_images[None]
+        defer_last = defer_last and self.defers
+        lead = 0
+        if deferred_tok is not None:
+            assert self.defers, "deferred_tok needs same_length ring decode"
+            dt = np.asarray(deferred_tok, np.int64).reshape(-1)
+            prime_tokens = np.concatenate(
+                [np.broadcast_to(dt, (prime_tokens.shape[0],))[:, None],
+                 prime_tokens], axis=1)
+            lead = 1
         b, q = prime_tokens.shape
 
         def _make_pos():
             _, p = action_flags_and_position_ids(
-                q, self.obs_length, self.action_length, 0)
+                q - lead, self.obs_length, self.action_length, 0)
+            if lead:  # deferred action token carries the action slot id 0
+                p = np.concatenate([np.zeros(1, p.dtype), p])
             # device-resident: position ids are a pure function of the
             # prime geometry, and re-uploading them each step costs a
             # tunnel round trip (~27 ms) in remote-TPU setups
             return jnp.broadcast_to(jnp.asarray(p, jnp.int32)[None], (b, q))
 
-        pos = self._pos_cache.get((b, q), _make_pos)
+        pos = self._pos_cache.get((b, q, lead), _make_pos)
         if env_action_mask is None:
             bias_dev = self._bias_dev_cache.get(b, lambda: jnp.asarray(
                 np.broadcast_to(self._base_bias,
@@ -229,19 +262,26 @@ class ActionDecoder:
         sizes = frame_splits = None
         if (self.use_kv_cache and q > chunk
                 and self.model.cfg.same_length):
+            # the chunk plan describes the prime proper; a deferred lead
+            # token rides in the first slice (it is not a -1 slot, so the
+            # frame splits are untouched)
+            qp = q - lead
             if images is None:
-                sizes = [chunk] * (q // chunk)
-                if q % chunk:
-                    sizes.append(q % chunk)
+                sizes = [chunk] * (qp // chunk)
+                if qp % chunk:
+                    sizes.append(qp % chunk)
             else:
-                plan = self._image_chunk_plan(q, int(images.shape[1]))
+                plan = self._image_chunk_plan(qp, int(images.shape[1]))
                 if plan is not None:
                     sizes, frame_splits = plan
+            if sizes is not None and lead:
+                sizes[0] += lead
         rk_chunks = (tuple(self._rk_for(s) for s in sizes)
                      if sizes is not None else (self._rk_for(q),))
         act_tokens, new_mems = self._jit_decode(
             {"params": self.params}, tokens, pos, mems,
-            bias_dev, images, rk_chunks, self._rk_for(1), frame_splits)
+            bias_dev, images, rk_chunks, self._rk_for(1), frame_splits,
+            defer_last)
         return act_tokens, new_mems
 
     def _image_chunk_plan(self, q: int, n_frames: int):
@@ -287,7 +327,7 @@ def _prime_chunk(model_cfg) -> int:
 
 def _decode_step(model, action_length, use_kv_cache, variables, tokens, pos,
                  mems, bias, images, rk_chunks=None, rk_step=None,
-                 frame_splits=None):
+                 frame_splits=None, defer_last=False):
     """prime forward + scan over action dims, entirely on device.
 
     tokens/pos: [B, q]; bias: [B, V]; returns ([B, action_length], mems).
@@ -379,11 +419,19 @@ def _decode_step(model, action_length, use_kv_cache, variables, tokens, pos,
         nxt = jnp.argmax(lg + bias, axis=-1).astype(jnp.int32)
         return (nxt, mems), nxt
 
-    (_, mems), rest = jax.lax.scan(
-        body, (tok0, mems), None, length=action_length)
-    # rest[i] is the token decoded after feeding token i; the last one is a
-    # throwaway (the feed exists purely to fold token n-1 into the memory)
-    act = jnp.concatenate([tok0[None], rest[:-1]], axis=0)  # [n, B]
+    if defer_last:
+        # token n-1 is never fed: the caller carries it into the next
+        # call's prime (deferred_tok), saving one full forward per step
+        (_, mems), rest = jax.lax.scan(
+            body, (tok0, mems), None, length=action_length - 1)
+        act = jnp.concatenate([tok0[None], rest], axis=0)    # [n, B]
+    else:
+        (_, mems), rest = jax.lax.scan(
+            body, (tok0, mems), None, length=action_length)
+        # rest[i] is the token decoded after feeding token i; the last one
+        # is a throwaway (the feed exists purely to fold token n-1 into
+        # the memory)
+        act = jnp.concatenate([tok0[None], rest[:-1]], axis=0)  # [n, B]
     return act.T, mems
 
 

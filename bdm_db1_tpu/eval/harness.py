@@ -63,10 +63,15 @@ def run_episode(
     mems = decoder.init_mems(1)
     episode_return, episode_length = 0.0, 0
     done = False
+    defers = bool(getattr(decoder, "defers", False))
+    deferred = None
 
     while not done:
         act_tokens, mems = decoder.decode(
-            prime, mems, prime_images=prime_img, env_action_mask=action_mask)
+            prime, mems, prime_images=prime_img, env_action_mask=action_mask,
+            deferred_tok=deferred, defer_last=defers)
+        if defers:
+            deferred = np.asarray(act_tokens)[..., -1:]
         action = env.tok.decode_action(act_tokens, env.discrete_action)
         obs_tokens, obs_img, action_mask, reward, done, _ = env.step(action)
         episode_return += reward
@@ -280,11 +285,19 @@ class _LockstepCohort:
         self.done = np.zeros(b, dtype=bool)
         self.done[self.n_real:] = True  # padding slots never step
         self._pending = None
+        # last-action deferral: the cohort never re-primes mid-run (done
+        # slots replay as padding), so every post-reset prime is the
+        # uniform [obs || sep] — the previous step's final action token
+        # rides in front of it instead of costing its own cache-fold
+        # forward (ActionDecoder.decode_async defer_last)
+        self._defers = bool(getattr(decoder, "defers", False))
+        self._deferred = None
 
     def dispatch(self) -> None:
         self._pending, self.mems = self.decoder.decode_async(
             self.prime, self.mems, prime_images=self.prime_img,
-            env_action_mask=self.action_mask)
+            env_action_mask=self.action_mask,
+            deferred_tok=self._deferred, defer_last=self._defers)
 
     def harvest_and_step(self) -> bool:
         """Block on the pending actions, step live envs; True when all done.
@@ -296,6 +309,8 @@ class _LockstepCohort:
         """
         act_tokens = np.asarray(self._pending)
         self._pending = None
+        if self._defers:
+            self._deferred = act_tokens[:, -1]
         live = np.flatnonzero(~self.done)
         if live.size == 0:
             return True

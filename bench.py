@@ -279,11 +279,16 @@ def bench_eval(args, geometry=None, tag: str = "") -> None:
     mems = decoder.init_mems(B)
 
     times = []
+    deferred = None
     for step_i in range(episode_len):
         t0 = time.perf_counter()
         act_tokens, mems = decoder.decode(prime, mems,
-                                          prime_images=prime_img)
+                                          prime_images=prime_img,
+                                          deferred_tok=deferred,
+                                          defer_last=decoder.defers)
         act_tokens = np.asarray(act_tokens)  # block on device
+        if decoder.defers:
+            deferred = act_tokens[:, -1]
         dt = time.perf_counter() - t0
         acts = tenvs[0].tok.decode_action_batch(
             act_tokens, tenvs[0].discrete_action)

@@ -365,3 +365,56 @@ def test_lockstep_respects_env_action_masks():
         assert len(t.env.taken) == 4  # stepped every tick, never rejected
         # reward 1.0 every step: action == expert action by construction
     assert all(abs(r.episode_return - 4.0) < 1e-6 for r in results)
+
+
+def test_deferred_last_action_matches_fold():
+    """defer_last + deferred_tok chaining == the fold-forward chain: the
+    token stream entering the ring is identical (the final action token is
+    written by the next prime instead of its own forward), so under
+    same_length the greedy actions must match at every step — the same
+    exactness argument as chunked priming (tests/test_kv_cache.py)."""
+    cfg, model, params, tenvs = _setup(
+        FakeContinuousEnv, 2, obs_dim=4, act_dim=2, episode_len=6)
+    decoder = build_decoder_for_env(model, params, tenvs[0])
+    assert decoder.defers
+
+    rng = np.random.RandomState(0)
+    sep = np.array([tenvs[0].separator_id], dtype=np.int64)
+    primes = []
+    for te in tenvs:
+        prompt, _ = te.get_prompt(strict_length=True, rng=rng)
+        obs, _, _ = te.reset()
+        primes.append(np.concatenate([prompt, obs, sep]))
+    prime0 = np.stack(primes)
+
+    # a fixed observation stream (independent of the decoded actions) so
+    # both chains consume identical primes
+    rs = np.random.RandomState(7)
+
+    def rand_prime():
+        raws = [rs.randn(4).astype(np.float32) for _ in range(2)]
+        obs_tok, _ = tenvs[0].encode_obs_batch(raws)
+        return np.concatenate([obs_tok, np.broadcast_to(sep, (2, 1))], axis=1)
+
+    obs_primes = [rand_prime() for _ in range(4)]
+
+    acts_a, acts_b = [], []
+    mems = decoder.init_mems(2)
+    p = prime0
+    for k in range(4):
+        a, mems = decoder.decode(p, mems)
+        acts_a.append(np.asarray(a))
+        p = obs_primes[k]
+
+    mems = decoder.init_mems(2)
+    p, deferred = prime0, None
+    for k in range(4):
+        a, mems = decoder.decode(p, mems, deferred_tok=deferred,
+                                 defer_last=True)
+        a = np.asarray(a)
+        deferred = a[:, -1]
+        acts_b.append(a)
+        p = obs_primes[k]
+
+    for k, (a, b) in enumerate(zip(acts_a, acts_b)):
+        np.testing.assert_array_equal(a, b, err_msg=f"step {k}")
