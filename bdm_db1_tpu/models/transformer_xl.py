@@ -237,8 +237,7 @@ class RelMultiHeadAttn(nn.Module):
             )
 
             # 2-tuple: exact-dtype caches; 4-tuple: int8 caches + dequant
-            # scales ([L,B,M,H] at q == 1, pre-transposed [L,B,H,M] for
-            # primes — see flash_ring_prime's hoisting requirement)
+            # scales (stored [L, B, M, H] layout for every qlen)
             if len(flash_kv) == 4:
                 k2, v2, k_sc, v_sc = flash_kv
             else:
@@ -279,18 +278,14 @@ class RelMultiHeadAttn(nn.Module):
                 bd_s = jnp.roll(bd[..., :M], cursor, axis=-1)
                 mask_s = jnp.roll(mask[:, :M], cursor, axis=-1)  # [Q, M]
                 bias = jnp.where(mask_s[None, None], NEG_INF, bd_s * scale)
-                qwt = qw.transpose(0, 2, 1, 3).astype(dtype)
-                if k_sc is None:
-                    # exact-dtype cache: all-pairs kernel (one wide MXU
-                    # dot; the per-head loop's strided VMEM slices cost
-                    # ~3x the HBM floor per layer-call)
-                    o_un, m_s, l_s = flash_ring_prime_ap(
-                        k2, v2, qwt, bias, lidx, n_head=h, d_head=dh,
-                        scale=scale, interpret=interpret)
-                else:
-                    o_un, m_s, l_s = flash_ring_prime(
-                        k2, v2, qwt, bias, lidx, k_sc, v_sc, n_head=h,
-                        d_head=dh, scale=scale, interpret=interpret)
+                # all-pairs kernel for both cache dtypes (one wide MXU
+                # dot; the per-head loop's strided VMEM slices cost ~3x
+                # the HBM floor per layer-call — flash_ring_prime stays
+                # as its parity oracle/fallback)
+                o_un, m_s, l_s = flash_ring_prime_ap(
+                    k2, v2, qw.transpose(0, 2, 1, 3).astype(dtype), bias,
+                    lidx, k_sc, v_sc, n_head=h, d_head=dh, scale=scale,
+                    interpret=interpret)
                 # new tokens' q x q block (causal among themselves)
                 ac_x = jnp.einsum("bihd,bjhd->bhij", qw,
                                   k_x.astype(jnp.float32))
@@ -834,11 +829,12 @@ class TransformerXL(nn.Module):
             # outside the layer scan (inside it, it would re-materialize
             # the scale buffers once per layer).
             if quantized:
-                ks, vs = cache["k_scale"], cache["v_scale"]
-                if qlen > 1:
-                    ks = ks.transpose(0, 1, 3, 2)
-                    vs = vs.transpose(0, 1, 3, 2)
-                flash_kv = (cache["k"], cache["v"], ks, vs)
+                # scales ride in their stored [L, B, M, H] layout for both
+                # the q == 1 and the all-pairs prime kernels (in-kernel
+                # pltpu.repeat replaced the old caller-side [L,B,H,M]
+                # transpose hoist the per-head prime kernel needed)
+                flash_kv = (cache["k"], cache["v"],
+                            cache["k_scale"], cache["v_scale"])
             else:
                 flash_kv = (cache["k"], cache["v"])
             mem_xs = (rk_full, cursor_per_layer,

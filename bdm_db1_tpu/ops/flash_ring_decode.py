@@ -283,46 +283,78 @@ def _prime_kernel_q(lidx_ref, k_ref, v_ref, ks_ref, vs_ref, qw_ref,
 MAX_PRIME_Q = 32
 
 
-def _prime_ap_kernel(lidx_ref, k_ref, v_ref, qwt_ref, bias_ref,
-                     o_ref, om_ref, ol_ref, *, n_head: int, n_q: int):
-    """All-pairs prime: the q == 1 kernel's design generalized to H*Q
+def _prime_ap_core(k_ref, v_ref, qwt_ref, bias_ref, ks_ref, vs_ref,
+                   o_ref, om_ref, ol_ref, *, n_head: int, n_q: int):
+    """All-pairs prime: the q == 1 kernel's design generalized to Q*H
     columns — ONE wide MXU dot instead of the per-head loop's strided
     [.., h, :] VMEM slices (those gather ~1 vreg row/cycle and measured
     1.21 ms/layer-call at q 18 b40 vs the ~0.41 ms HBM floor). Columns are
-    (head, query) ordered: col = h * Q + q, so every split back to [H, Q]
-    happens on LEADING dims (in XLA, outside the kernel)."""
+    (query, head) ordered: col = q * H + h, so the query-head of a column
+    is col % H (the q == 1 kernel's selector) and the int8 dequant scales
+    replicate with ``pltpu.repeat`` (a lane tiling of the q == 1 kernel's
+    sublane-replicated [rows, H] expansion)."""
     bm = k_ref.shape[2]
     d_head = k_ref.shape[4]
     rows = bm * n_head
-    hq = n_head * n_q
+    qh = n_q * n_head
+    quantized = ks_ref is not None
+    cdtype = qwt_ref.dtype
+
+    def rep(x2d):  # [bm, H] -> [rows, H], value at (m, h_r | h) = x[m, h]
+        return jnp.broadcast_to(
+            x2d[:, None, :], (bm, n_head, n_head)).reshape(rows, n_head)
+
+    def rep_q(x2d):  # [bm, H] -> [rows, Q*H], value at (m*H+h_r, q*H+h)
+        return pltpu.repeat(rep(x2d), n_q, axis=1)  # = x[m, h]
 
     k2 = k_ref[0, 0].reshape(rows, d_head)
+    if quantized:
+        k2 = k2.astype(cdtype)
     s_all = jax.lax.dot_general(
         k2, qwt_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)               # [rows, HQ]
+        preferred_element_type=jnp.float32)               # [rows, QH]
 
     bias_rep = jnp.broadcast_to(
-        bias_ref[0][:, None, :], (bm, n_head, hq)).reshape(rows, hq)
-    # diagonal selector without an integer divide: column c belongs to
-    # query-head c // Q, i.e. r_head*Q <= c < (r_head+1)*Q
-    r_head = jax.lax.broadcasted_iota(jnp.int32, (rows, hq), 0) % n_head
-    col = jax.lax.broadcasted_iota(jnp.int32, (rows, hq), 1)
-    lo = r_head * n_q
-    s_m = jnp.where((col >= lo) & (col < lo + n_q),
-                    s_all + bias_rep, NEG_INF)
+        bias_ref[0][:, None, :], (bm, n_head, qh)).reshape(rows, qh)
+    if quantized:
+        # K dequant scale per key row: on the surviving diagonal the
+        # column's query-head equals the row head, so rep_q IS the row
+        # scale there (junk elsewhere is masked to -inf below)
+        s_all = s_all * rep_q(ks_ref[0, 0])
+    r_head = jax.lax.broadcasted_iota(jnp.int32, (rows, qh), 0) % n_head
+    g_head = jax.lax.broadcasted_iota(jnp.int32, (rows, qh), 1) % n_head
+    s_m = jnp.where(r_head == g_head, s_all + bias_rep, NEG_INF)
 
-    m_blk = jnp.max(s_m, axis=0, keepdims=True)           # [1, HQ]
+    m_blk = jnp.max(s_m, axis=0, keepdims=True)           # [1, QH]
     p = jnp.exp(s_m - m_blk)
-    l_blk = jnp.sum(p, axis=0, keepdims=True)             # [1, HQ]
+    l_blk = jnp.sum(p, axis=0, keepdims=True)             # [1, QH]
 
     v2 = v_ref[0, 0].reshape(rows, d_head)
+    if quantized:
+        # V dequant scale on the PV operand, never the denominator l;
+        # off-diagonal p entries are exactly zero
+        v2 = v2.astype(cdtype)
+        p = p * rep_q(vs_ref[0, 0])
     o_blk = jax.lax.dot_general(
         p.astype(v2.dtype), v2, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)               # [HQ, Dh]
+        preferred_element_type=jnp.float32)               # [QH, Dh]
 
     o_ref[...] = o_blk[None, None]
     om_ref[...] = m_blk[None, None]
     ol_ref[...] = l_blk[None, None]
+
+
+def _prime_ap_kernel(lidx_ref, k_ref, v_ref, qwt_ref, bias_ref,
+                     o_ref, om_ref, ol_ref, *, n_head: int, n_q: int):
+    _prime_ap_core(k_ref, v_ref, qwt_ref, bias_ref, None, None,
+                   o_ref, om_ref, ol_ref, n_head=n_head, n_q=n_q)
+
+
+def _prime_ap_kernel_q(lidx_ref, k_ref, v_ref, ks_ref, vs_ref, qwt_ref,
+                       bias_ref, o_ref, om_ref, ol_ref, *, n_head: int,
+                       n_q: int):
+    _prime_ap_core(k_ref, v_ref, qwt_ref, bias_ref, ks_ref, vs_ref,
+                   o_ref, om_ref, ol_ref, n_head=n_head, n_q=n_q)
 
 
 @functools.partial(
@@ -335,26 +367,35 @@ def flash_ring_prime_ap(
     bias: jax.Array,        # [B, H, Q, M] f32 — scaled BD term, ring
                             #   order, NEG_INF at banned slots
     lidx: jax.Array,        # [] or [1] int32 — layer to read
+    k_scale: jax.Array = None,  # [L, B, M, H] f32 — int8 dequant scales
+                                #   (q == 1 layout; no caller transpose)
+    v_scale: jax.Array = None,  # [L, B, M, H] f32
     *,
     n_head: int, d_head: int, scale: float,
     block_m: int = DEFAULT_BLOCK_M, interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """All-pairs variant of :func:`flash_ring_prime` (exact-dtype caches
-    only — the int8 dequant scales have no layout-free [rows, H*Q]
-    replication, so the quantized path keeps the per-head kernel).
+    """All-pairs variant of :func:`flash_ring_prime`; handles exact-dtype
+    AND int8(+scales) caches — the scales stay in the q == 1 kernel's
+    [L, B, M, H] layout (``pltpu.repeat`` does the in-kernel [rows, Q*H]
+    replication the per-head kernel needed a caller-side transpose for).
 
     Same contract as :func:`flash_ring_prime`: returns
     ``(o_unnorm [B, H, Q, Dh] f32, m [B, H, Q], l [B, H, Q])``.
     """
     L, B, M, H, Dh = k_cache.shape
     Q = qw.shape[2]
-    HQ = H * Q
+    QH = Q * H
     assert (H, Dh) == (n_head, d_head), (k_cache.shape, n_head, d_head)
     assert 2 <= Q <= MAX_PRIME_Q, Q
-    # adaptive block: the [bm*H, H*Q] f32 score+prob pair plus the
-    # double-buffered K/V blocks must fit ~16 MB VMEM with headroom
+    quantized = k_scale is not None
+    if quantized:
+        assert k_scale.shape == (L, B, M, H), k_scale.shape
+    # adaptive block: the [bm*H, Q*H] f32 score/prob (and, quantized, the
+    # two replicated scale) buffers plus the double-buffered K/V blocks
+    # must fit ~16 MB VMEM with headroom
+    n_big = 4 if quantized else 2
     bm = min(block_m, M)
-    while bm > 64 and (bm * H * HQ * 8
+    while bm > 64 and (bm * H * QH * 4 * n_big
                        + 4 * bm * H * Dh * k_cache.dtype.itemsize
                        ) > 10 * 2**20:
         bm //= 2
@@ -362,45 +403,55 @@ def flash_ring_prime_ap(
     nm = M // bm
     lidx = jnp.reshape(lidx.astype(jnp.int32), (1,))
 
-    # scale folds into the transposed query operand; (h, q) column order
+    # scale folds into the transposed query operand; (q, h) column order
     qwt = (jnp.asarray(scale, qw.dtype)
-           * qw).transpose(0, 3, 1, 2).reshape(B, Dh, HQ)
-    bias_t = bias.transpose(0, 3, 1, 2).reshape(B, M, HQ)
+           * qw).transpose(0, 3, 2, 1).reshape(B, Dh, QH)
+    bias_t = bias.transpose(0, 3, 2, 1).reshape(B, M, QH)
 
     grid = (B, nm)
     kv_spec = pl.BlockSpec(
         (1, 1, bm, H, Dh), lambda b, i, l: (l[0], b, i, 0, 0))
-    qwt_spec = pl.BlockSpec((1, Dh, HQ), lambda b, i, l: (b, 0, 0))
-    bias_spec = pl.BlockSpec((1, bm, HQ), lambda b, i, l: (b, i, 0))
-    o_spec = pl.BlockSpec((1, 1, HQ, Dh), lambda b, i, l: (b, i, 0, 0))
-    stat_spec = pl.BlockSpec((1, 1, 1, HQ), lambda b, i, l: (b, i, 0, 0))
+    sc_spec = pl.BlockSpec((1, 1, bm, H), lambda b, i, l: (l[0], b, i, 0))
+    qwt_spec = pl.BlockSpec((1, Dh, QH), lambda b, i, l: (b, 0, 0))
+    bias_spec = pl.BlockSpec((1, bm, QH), lambda b, i, l: (b, i, 0))
+    o_spec = pl.BlockSpec((1, 1, QH, Dh), lambda b, i, l: (b, i, 0, 0))
+    stat_spec = pl.BlockSpec((1, 1, 1, QH), lambda b, i, l: (b, i, 0, 0))
+
+    if quantized:
+        kern = functools.partial(_prime_ap_kernel_q, n_head=n_head, n_q=Q)
+        in_specs = [kv_spec, kv_spec, sc_spec, sc_spec, qwt_spec, bias_spec]
+        operands = (lidx, k_cache, v_cache, k_scale, v_scale, qwt, bias_t)
+    else:
+        kern = functools.partial(_prime_ap_kernel, n_head=n_head, n_q=Q)
+        in_specs = [kv_spec, kv_spec, qwt_spec, bias_spec]
+        operands = (lidx, k_cache, v_cache, qwt, bias_t)
 
     o_part, m_part, l_part = pl.pallas_call(
-        functools.partial(_prime_ap_kernel, n_head=n_head, n_q=Q),
+        kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
-            in_specs=[kv_spec, kv_spec, qwt_spec, bias_spec],
+            in_specs=in_specs,
             out_specs=[o_spec, stat_spec, stat_spec],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((B, nm, HQ, Dh), jnp.float32),
-            jax.ShapeDtypeStruct((B, nm, 1, HQ), jnp.float32),
-            jax.ShapeDtypeStruct((B, nm, 1, HQ), jnp.float32),
+            jax.ShapeDtypeStruct((B, nm, QH, Dh), jnp.float32),
+            jax.ShapeDtypeStruct((B, nm, 1, QH), jnp.float32),
+            jax.ShapeDtypeStruct((B, nm, 1, QH), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(lidx, k_cache, v_cache, qwt, bias_t)
+    )(*operands)
 
-    # (h, q) columns split back on leading dims in XLA
-    m_p = m_part[:, :, 0].reshape(B, nm, H, Q)             # [B, nm, H, Q]
-    m_f = jnp.max(m_p, axis=1)                             # [B, H, Q]
-    w = jnp.exp(m_p - m_f[:, None])                        # [B, nm, H, Q]
-    o_r = o_part.reshape(B, nm, H, Q, Dh)
-    o_un = jnp.einsum("bnhqd,bnhq->bhqd", o_r, w)
-    l_f = jnp.einsum("bnhq,bnhq->bhq",
-                     l_part[:, :, 0].reshape(B, nm, H, Q), w)
+    # (q, h) columns split back on leading dims in XLA
+    m_p = m_part[:, :, 0].reshape(B, nm, Q, H)             # [B, nm, Q, H]
+    m_f = jnp.max(m_p, axis=1).transpose(0, 2, 1)          # [B, H, Q]
+    w = jnp.exp(m_p - m_f.transpose(0, 2, 1)[:, None])     # [B, nm, Q, H]
+    o_r = o_part.reshape(B, nm, Q, H, Dh)
+    o_un = jnp.einsum("bnqhd,bnqh->bhqd", o_r, w)
+    l_f = jnp.einsum("bnqh,bnqh->bhq",
+                     l_part[:, :, 0].reshape(B, nm, Q, H), w)
     return o_un, m_f, l_f
 
 

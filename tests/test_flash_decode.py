@@ -194,3 +194,40 @@ def test_prime_allpairs_matches_perhead():
                                rtol=2e-5, atol=2e-5)
     # the dead column's max stays at the sentinel so the epilogue zeroes it
     assert (np.asarray(m_a)[~live] < -1e29).all()
+
+
+def test_prime_allpairs_int8_matches_perhead_int8():
+    """Quantized all-pairs prime (scales in stored [L,B,M,H] layout,
+    in-kernel pltpu.repeat replication) == the per-head prime kernel fed
+    the same scales pre-transposed to its [L,B,H,M] layout."""
+    from bdm_db1_tpu.ops.flash_ring_decode import (
+        flash_ring_prime, flash_ring_prime_ap,
+    )
+
+    L, B, M, H, Dh, Q = 2, 2, 16, 4, 8, 3
+    rng = np.random.RandomState(4)
+    k2 = jnp.asarray(rng.randint(-127, 128, (L, B, M, H, Dh)), jnp.int8)
+    v2 = jnp.asarray(rng.randint(-127, 128, (L, B, M, H, Dh)), jnp.int8)
+    ks = jnp.asarray(rng.rand(L, B, M, H) * 0.1 + 0.01, jnp.float32)
+    vs = jnp.asarray(rng.rand(L, B, M, H) * 0.1 + 0.01, jnp.float32)
+    qw = jnp.asarray(rng.randn(B, H, Q, Dh), jnp.float32)
+    bias = jnp.asarray(rng.randn(B, H, Q, M), jnp.float32)
+    bias = bias.at[:, :, :, 7].set(-1e30)        # one banned ring slot
+    scale = 1.0 / np.sqrt(Dh)
+    lidx = jnp.array(1, jnp.int32)
+
+    o_a, m_a, l_a = flash_ring_prime_ap(
+        k2, v2, qw, bias, lidx, ks, vs, n_head=H, d_head=Dh, scale=scale,
+        block_m=8, interpret=True)
+    o_p, m_p, l_p = flash_ring_prime(
+        k2, v2, qw, bias, lidx, ks.transpose(0, 1, 3, 2),
+        vs.transpose(0, 1, 3, 2), n_head=H, d_head=Dh, scale=scale,
+        block_m=8, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(m_a), np.asarray(m_p),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(l_a), np.asarray(l_p),
+                               rtol=2e-5, atol=2e-5)
+    out_a = np.asarray(o_a) / np.asarray(l_a)[..., None]
+    out_p = np.asarray(o_p) / np.asarray(l_p)[..., None]
+    np.testing.assert_allclose(out_a, out_p, rtol=2e-5, atol=2e-5)
