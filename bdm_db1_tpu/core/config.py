@@ -147,6 +147,7 @@ class OptimizerConfig:
     weight_decay_incr_style: str = "constant"
     clip_grad: float = 1.0
     adam_mu_dtype: Optional[str] = None  # e.g. "bfloat16" to halve moment HBM
+    adam_nu_dtype: Optional[str] = None  # same for the second moment
     fused: bool = False  # single-tree_map AdamW (train/step.py fused_adamw)
     lr_decay_style: str = "cosine"
     lr_warmup_iters: int = 0

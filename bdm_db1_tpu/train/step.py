@@ -52,9 +52,14 @@ def make_optimizer(cfg: OptimizerConfig, train_iters: int) -> optax.GradientTran
     if cfg.clip_grad and cfg.clip_grad > 0:
         parts.append(optax.clip_by_global_norm(cfg.clip_grad))
     if cfg.optimizer in ("adamw", "adam"):
-        parts.append(optax.scale_by_adam(
-            b1=cfg.adam_beta1, b2=cfg.adam_beta2, eps=cfg.adam_eps,
-            mu_dtype=cfg.adam_mu_dtype))
+        if cfg.adam_nu_dtype:
+            parts.append(_scale_by_adam_nu(
+                b1=cfg.adam_beta1, b2=cfg.adam_beta2, eps=cfg.adam_eps,
+                mu_dtype=cfg.adam_mu_dtype, nu_dtype=cfg.adam_nu_dtype))
+        else:
+            parts.append(optax.scale_by_adam(
+                b1=cfg.adam_beta1, b2=cfg.adam_beta2, eps=cfg.adam_eps,
+                mu_dtype=cfg.adam_mu_dtype))
     elif cfg.optimizer == "sgd":
         pass  # plain (scaled) gradient
     else:
@@ -64,6 +69,50 @@ def make_optimizer(cfg: OptimizerConfig, train_iters: int) -> optax.GradientTran
             _ScheduledWeightDecay(wd), _decay_mask))
     parts.append(_scale_by_schedule_neg(lr))
     return optax.chain(*parts)
+
+
+def _scale_by_adam_nu(b1, b2, eps, mu_dtype=None,
+                      nu_dtype=None) -> optax.GradientTransformation:
+    """``optax.scale_by_adam`` with a storage dtype for the SECOND moment
+    too (optax exposes ``mu_dtype`` only). Moment math runs in f32 and
+    rounds on store; with ``nu_dtype=None``/f32 the update matches optax's
+    to f32 rounding (pinned by tests/test_train_step.py). The point is the
+    optimizer's HBM floor: at 1.2B the f32 nu tree is another ~4.8 GB of
+    read+write per step that bf16 halves (the mu tree already can via
+    ``adam_mu_dtype``)."""
+    mu_dtype = jnp.dtype(mu_dtype) if mu_dtype else None
+    nu_dtype = jnp.dtype(nu_dtype) if nu_dtype else None
+
+    def init(params):
+        mu = jax.tree.map(
+            lambda p: jnp.zeros_like(p, dtype=mu_dtype or p.dtype), params)
+        nu = jax.tree.map(
+            lambda p: jnp.zeros_like(p, dtype=nu_dtype or p.dtype), params)
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32), mu=mu, nu=nu)
+
+    def update(updates, state, params=None):
+        del params
+        count = optax.safe_increment(state.count)
+        cf = count.astype(jnp.float32)
+        b1c = 1.0 - b1 ** cf
+        b2c = 1.0 - b2 ** cf
+
+        def leaf(g, m, v):
+            gf = g.astype(jnp.float32)
+            mf = b1 * m.astype(jnp.float32) + (1.0 - b1) * gf
+            vf = b2 * v.astype(jnp.float32) + (1.0 - b2) * gf * gf
+            u = (mf / b1c) / (jnp.sqrt(vf / b2c) + eps)
+            return (mf.astype(m.dtype), vf.astype(v.dtype), u.astype(g.dtype))
+
+        out = jax.tree.map(leaf, updates, state.mu, state.nu)
+        is_triple = lambda t: isinstance(t, tuple) and len(t) == 3
+        mu = jax.tree.map(lambda t: t[0], out, is_leaf=is_triple)
+        nu = jax.tree.map(lambda t: t[1], out, is_leaf=is_triple)
+        upd = jax.tree.map(lambda t: t[2], out, is_leaf=is_triple)
+        return upd, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
 
 
 def fused_adamw(cfg: OptimizerConfig,

@@ -103,6 +103,10 @@ def main() -> None:
                     choices=["dots", "dots_narrow", "full"],
                     help="train mode: which activations survive to backward")
     ap.add_argument("--no-remat", action="store_true")
+    ap.add_argument("--nu-dtype", default="", choices=["", "bfloat16"],
+                    help="train mode: storage dtype for the Adam second "
+                         "moment (halves another ~4.8 GB/step of "
+                         "optimizer HBM at 1.2B)")
     ap.add_argument("--fused-optimizer", action="store_true",
                     help="train mode: single-tree_map AdamW "
                          "(train/step.py fused_adamw) instead of the "
@@ -405,6 +409,7 @@ def bench_train(args) -> None:
         cfg.model.remat = not args.no_remat
         cfg.model.remat_policy = args.remat_policy
         cfg.train.optimizer.adam_mu_dtype = "bfloat16"
+        cfg.train.optimizer.adam_nu_dtype = args.nu_dtype or None
         cfg.train.optimizer.fused = args.fused_optimizer
         if args.no_dropout:
             cfg.model.drop = cfg.model.embd_pdrop = 0.0

@@ -187,3 +187,45 @@ def test_sequence_sharded_activations_matches():
         losses[sp] = float(m["loss"])
     cfg.model.sequence_sharded_activations = False
     assert abs(losses[False] - losses[True]) < 1e-3, losses
+
+
+def test_adam_nu_dtype_matches_optax():
+    """_scale_by_adam_nu with f32 storage == the optax scale_by_adam chain
+    (same params after several steps); bf16 nu storage stays close and
+    still trains (loss decreases) — the HBM-halving mode is a rounding
+    perturbation, not a different update rule."""
+    import dataclasses
+
+    cfg = db1_tiny()
+    cfg.model.dtype = "float32"
+    model = TransformerXL(cfg.model, cfg.vocab, cfg.vision)
+    layout = cfg.vocab.layout()
+    batch = _tiny_batch(layout)
+    ocfg = OptimizerConfig(lr=1e-2, min_lr=1e-3, lr_warmup_iters=1,
+                           lr_decay_style="cosine", clip_grad=0.5,
+                           weight_decay=0.1)
+
+    def run(o):
+        tx = make_optimizer(o, 10)
+        state = init_train_state(model, tx, jax.random.PRNGKey(0), batch)
+        step = jax.jit(make_train_step(model, tx))
+        rng = jax.random.PRNGKey(1)
+        losses = []
+        for _ in range(5):
+            state, m = step(state, batch, rng)
+            losses.append(float(m["loss"]))
+        return state, losses
+
+    s_ref, _ = run(ocfg)
+    s_f32, _ = run(dataclasses.replace(ocfg, adam_nu_dtype="float32"))
+    for a, b in zip(jax.tree.leaves(s_ref.params),
+                    jax.tree.leaves(s_f32.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-5, atol=2e-6)
+
+    s_bf, losses_bf = run(dataclasses.replace(ocfg, adam_nu_dtype="bfloat16"))
+    assert losses_bf[-1] < losses_bf[0]
+    for a, b in zip(jax.tree.leaves(s_ref.params),
+                    jax.tree.leaves(s_bf.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=0.1, atol=5e-3)
