@@ -443,7 +443,7 @@ class DecoderPool:
 
     def __init__(self, model, params):
         self.model = model
-        self.params = params
+        self.params = _maybe_quantize_weights(model, params)
         self._cache = {}
 
     def get(self, tokenized_env) -> "ActionDecoder":
@@ -548,12 +548,27 @@ def _window_decode(model, action_length, variables, tokens, pos, lengths,
     return acts
 
 
+def _maybe_quantize_weights(model, params):
+    """Opt-in int8 trunk weights for decode (ModelConfig.decode_weight_dtype;
+    idempotent so DecoderPool and direct construction compose)."""
+    if getattr(model.cfg, "decode_weight_dtype", "") != "int8":
+        return params
+    from bdm_db1_tpu.models.transformer_xl import (
+        decode_weights_quantized, quantize_decode_weights,
+    )
+
+    if decode_weights_quantized(params):
+        return params
+    return quantize_decode_weights(params)
+
+
 def build_decoder_for_env(model, params, tokenized_env) -> ActionDecoder:
     from bdm_db1_tpu.eval.envs import is_discrete_space
 
     discrete = is_discrete_space(tokenized_env.action_space)
     return ActionDecoder(
-        model, params, tokenized_env.tok.layout,
+        model, _maybe_quantize_weights(model, params),
+        tokenized_env.tok.layout,
         obs_length=tokenized_env.obs_length,
         action_length=tokenized_env.action_length,
         discrete_action=discrete,

@@ -58,6 +58,92 @@ def _part(init, names):
     return nn.with_logical_partitioning(init, names)
 
 
+class QDense(nn.Module):
+    """``nn.Dense`` restricted to what the trunk uses, plus int8-kernel
+    consumption for the decode-weight path: when the bound kernel arrives
+    int8 (see :func:`quantize_decode_weights`), the sibling
+    ``kernel_scale`` leaf dequantizes INSIDE the Pallas matmul
+    (ops/quant_matmul.py) so HBM streams the weight at 1 byte/element —
+    an XLA-level ``astype`` would materialize a full-precision copy, the
+    same failure mode the int8 KV cache hit (PERFORMANCE.md). With a
+    floating kernel the math is exactly ``nn.Dense``'s (promote to
+    ``dtype``, dot, bias add) — training never sees the int8 branch."""
+
+    features: int
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+    kernel_init: Any = nn.initializers.lecun_normal()
+    bias_init: Any = nn.initializers.zeros_init()
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        kernel = self.param(
+            "kernel", self.kernel_init,
+            (jnp.shape(x)[-1], self.features), self.param_dtype)
+        dtype = jnp.dtype(self.dtype)
+        if jnp.dtype(kernel.dtype) == jnp.int8:
+            from bdm_db1_tpu.ops.quant_matmul import quant_matmul
+
+            scale = self.param("kernel_scale", nn.initializers.ones,
+                               (self.features,), jnp.float32)
+            shp = jnp.shape(x)
+            y = quant_matmul(
+                x.reshape(-1, shp[-1]).astype(dtype), kernel, scale,
+                interpret=jax.devices()[0].platform != "tpu")
+            y = y.reshape(shp[:-1] + (self.features,)).astype(dtype)
+        else:
+            y = jnp.dot(x.astype(dtype), kernel.astype(dtype))
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,),
+                              self.param_dtype)
+            y = y + bias.astype(dtype)
+        return y
+
+
+_QUANT_DENSE_PATHS = (
+    ("layers", "attn", "qkv_net"),
+    ("layers", "attn", "o_net"),
+    ("layers", "ff", "wi"),
+    ("layers", "ff", "wo"),
+)
+
+
+def decode_weights_quantized(params) -> bool:
+    node = params
+    for k in _QUANT_DENSE_PATHS[0]:
+        node = node[k]
+    return "kernel_scale" in node
+
+
+def quantize_decode_weights(params):
+    """Decode-only param transform: the trunk Dense kernels (qkv, o, ffn —
+    ~2.0 of the 2.4 GB read per 1.2B forward) become int8 with per-layer,
+    per-output-channel scales in sibling ``kernel_scale`` leaves, consumed
+    by :class:`QDense`. Embedding/head (argmax parity), ``r_net`` (read
+    raw by ``precompute_rk``), LayerNorms and biases keep their training
+    dtypes. Tolerance path, like ``decode_cache_dtype="int8"``.
+    """
+    from bdm_db1_tpu.ops.quant_matmul import quantize_weight
+
+    def _copy(d):
+        return {k: _copy(v) if isinstance(v, dict) else v
+                for k, v in d.items()}
+
+    p = _copy(params)
+    for path in _QUANT_DENSE_PATHS:
+        node = p
+        for k in path:
+            node = node[k]
+        boxed = node["kernel"]
+        val = boxed.unbox() if hasattr(boxed, "unbox") else boxed
+        wq, sc = jax.vmap(quantize_weight)(val.astype(jnp.float32))
+        node["kernel"] = (boxed.replace_boxed(wq)
+                          if hasattr(boxed, "replace_boxed") else wq)
+        node["kernel_scale"] = sc          # [L, N] — nn.scan slices axis 0
+    return p
+
+
 def _xavier(gain: float):
     def init(key, shape, dtype):
         fan_in, fan_out = shape[0], shape[1]
@@ -211,7 +297,7 @@ class RelMultiHeadAttn(nn.Module):
             epsilon=cfg.layer_norm_epsilon, dtype=dtype,
             param_dtype=cfg.param_dtype, name="layer_norm",
         )
-        qkv_net = nn.Dense(
+        qkv_net = QDense(
             3 * d, use_bias=False, dtype=dtype, param_dtype=cfg.param_dtype,
             kernel_init=_part(_qkv_init(cfg), ("embed", "qkv")), name="qkv_net",
         )
@@ -293,7 +379,7 @@ class RelMultiHeadAttn(nn.Module):
                                   (ac_x + bd[..., M:]) * scale)
                 attn = combine_new_columns(
                     o_un, m_s, l_s, s_new, v_x, compute_dtype=dtype)
-            out = nn.Dense(
+            out = QDense(
                 d, use_bias=False, dtype=dtype, param_dtype=cfg.param_dtype,
                 kernel_init=_part(_deepnorm_or_normal(cfg),
                                   ("heads", "embed")),
@@ -381,7 +467,7 @@ class RelMultiHeadAttn(nn.Module):
             probs = probs_f.astype(dtype)
             v_all = jnp.concatenate([v_cache.astype(dtype), v_x], axis=1)
             attn = jnp.einsum("bhij,bjhd->bihd", probs, v_all)
-            out = nn.Dense(
+            out = QDense(
                 d, use_bias=False, dtype=dtype, param_dtype=cfg.param_dtype,
                 kernel_init=_part(_deepnorm_or_normal(cfg),
                                   ("heads", "embed")),
@@ -448,7 +534,7 @@ class RelMultiHeadAttn(nn.Module):
                 dropout_rate=cfg.dropattn if not deterministic else 0.0,
                 dropout_rng=drop_rng, compute_dtype=dtype,
             )
-        out = nn.Dense(
+        out = QDense(
             d, use_bias=False, dtype=dtype, param_dtype=cfg.param_dtype,
             kernel_init=_part(_deepnorm_or_normal(cfg), ("heads", "embed")),
             name="o_net",
@@ -484,15 +570,16 @@ class PositionwiseFF(nn.Module):
         )
         inp = ln(x) if cfg.pre_lnorm else x
 
-        dense_in = nn.Dense(
-            d_inner, dtype=dtype, param_dtype=cfg.param_dtype,
+        dense_in = QDense(
+            d_inner, use_bias=True, dtype=dtype, param_dtype=cfg.param_dtype,
             kernel_init=_part(_deepnorm_or_normal(cfg), ("embed", "mlp")),
             bias_init=_part(nn.initializers.zeros_init(), ("mlp",)),
             name="wi",
         )
         h = act(dense_in(inp))
-        h = nn.Dense(
-            cfg.n_embed, dtype=dtype, param_dtype=cfg.param_dtype,
+        h = QDense(
+            cfg.n_embed, use_bias=True, dtype=dtype,
+            param_dtype=cfg.param_dtype,
             kernel_init=_part(_deepnorm_or_normal(cfg), ("mlp", "embed")),
             bias_init=_part(nn.initializers.zeros_init(), ("embed",)),
             name="wo",

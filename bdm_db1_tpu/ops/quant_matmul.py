@@ -1,0 +1,113 @@
+"""int8-weight matmul (Pallas, TPU): y = x @ dequant(w).
+
+Decode forwards are HBM-bound and re-read every trunk weight once per
+forward (~2.15 GB bf16 at 1.2B — reference workload:
+/root/reference/src/evaluation/evaluate_rl.py:177-258, one forward per
+generated token). Storing the kernels int8 with per-output-channel scales
+halves that stream; the catch is WHERE the dequant happens. An XLA-level
+``w_int8.astype(bf16) * scale`` materializes a full-precision copy of the
+weight in HBM (the exact failure mode the int8 KV cache hit before its
+in-kernel dequant, PERFORMANCE.md), so this kernel converts int8 -> bf16
+in VMEM, right after the DMA: HBM traffic stays 1 byte/element and the
+MXU consumes bf16 operands.
+
+Design: grid (nN, nK) with K innermost; the [bm_k, bn] weight block is
+DMA'd, converted, and matmul'd against the VMEM-resident activation slice
+x[:, k-block] ([B, bm_k] — a few hundred KB at decode batch sizes); f32
+partial products accumulate in the revisited output block (same index for
+every k), and the per-output-channel scale folds in once on the LAST k
+step — scales are per-column, so scaling the f32 accumulator once is
+exact and cheaper than scaling every partial.
+
+Per-channel (columnwise absmax / 127) symmetric quantization matches the
+KV-cache scheme (models/transformer_xl.py quantize_kv_rows); biases stay
+in their storage dtype and are added OUTSIDE (they are O(N) — the win is
+the O(K*N) kernel bytes).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def quantize_weight(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Symmetric per-output-channel int8 quantization of a [K, N] kernel.
+
+    Returns (w_int8 [K, N], scale [N] f32) with w ~= w_int8 * scale.
+    """
+    wf = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(wf), axis=0)                   # [N]
+    scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(wf / scale[None, :]), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+def _qmm_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int,
+                cdtype):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # int8 -> compute dtype in VMEM (exact: int8 values are representable
+    # in bf16); HBM only ever saw 1 byte/element
+    w = w_ref[...].astype(cdtype)
+    acc_ref[...] += jax.lax.dot_general(
+        x_ref[...], w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(k == n_k - 1)
+    def _store():
+        # per-output-channel scale folds into the f32 accumulator once
+        o_ref[...] = acc_ref[...] * s_ref[...][0][None, :]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_k", "block_n", "interpret"))
+def quant_matmul(
+    x: jax.Array,          # [B, K] compute dtype (bf16/f32)
+    w_q: jax.Array,        # [K, N] int8
+    scale: jax.Array,      # [N] f32 — per-output-channel dequant scale
+    *,
+    block_k: int = 512,
+    block_n: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """``x @ (w_q * scale)`` with the dequant fused into the kernel.
+
+    Returns [B, N] f32 (cast outside if the consumer wants bf16 — the
+    epilogue add/activation usually does).
+    """
+    B, K = x.shape
+    K2, N = w_q.shape
+    assert K == K2, (x.shape, w_q.shape)
+    bk = min(block_k, K)
+    bn = min(block_n, N)
+    assert K % bk == 0 and N % bn == 0, (K, N, bk, bn)
+    n_k = K // bk
+    grid = (N // bn, n_k)
+
+    out = pl.pallas_call(
+        functools.partial(_qmm_kernel, n_k=n_k, cdtype=x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, bk), lambda n, k: (0, k)),
+            pl.BlockSpec((bk, bn), lambda n, k: (k, n)),
+            pl.BlockSpec((1, bn), lambda n, k: (0, n)),
+        ],
+        out_specs=pl.BlockSpec((B, bn), lambda n, k: (0, n)),
+        out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((B, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(x, w_q, scale[None, :].astype(jnp.float32))
+    return out

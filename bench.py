@@ -103,6 +103,10 @@ def main() -> None:
                     choices=["dots", "dots_narrow", "full"],
                     help="train mode: which activations survive to backward")
     ap.add_argument("--no-remat", action="store_true")
+    ap.add_argument("--weight-dtype", default="", choices=["", "int8"],
+                    help="eval mode: int8 trunk weights (QDense + "
+                         "ops/quant_matmul in-kernel dequant; tolerance "
+                         "path, not bit-parity)")
     ap.add_argument("--nu-dtype", default="", choices=["", "bfloat16"],
                     help="train mode: storage dtype for the Adam second "
                          "moment (halves another ~4.8 GB/step of "
@@ -212,6 +216,7 @@ def _eval_setup(args, n_envs: int, episode_len: int, geometry: str):
         cfg = db1_1p2b()
         cfg.model.param_dtype = "bfloat16"
     cfg.model.decode_cache_dtype = args.cache_dtype
+    cfg.model.decode_weight_dtype = getattr(args, "weight_dtype", "")
 
     if geometry == "mujoco":
         obs_dim, act_dim = (4, 2) if args.smoke else (17, 6)

@@ -1,0 +1,108 @@
+"""int8-weight matmul kernel (ops/quant_matmul.py, interpret mode):
+quantize-dequantize round trip and kernel-vs-XLA parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bdm_db1_tpu.ops.quant_matmul import quant_matmul, quantize_weight
+
+
+def test_quantize_weight_roundtrip():
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.randn(64, 48).astype(np.float32)) * 0.02
+    wq, s = quantize_weight(w)
+    assert wq.dtype == jnp.int8 and s.shape == (48,)
+    deq = np.asarray(wq, np.float32) * np.asarray(s)[None, :]
+    # symmetric per-channel absmax/127: error bounded by scale/2 per elem
+    err = np.abs(deq - np.asarray(w))
+    assert (err <= np.asarray(s)[None, :] * 0.5 + 1e-8).all()
+    # zero column gets scale 1.0, stays exactly zero
+    w0 = w.at[:, 0].set(0.0)
+    wq0, s0 = quantize_weight(w0)
+    assert float(s0[0]) == 1.0 and not np.asarray(wq0[:, 0]).any()
+
+
+def test_quant_matmul_matches_xla():
+    """kernel == x @ (w_q * scale) computed in XLA f32, over multiple
+    k/n blocks (accumulation + revisited output block)."""
+    rng = np.random.RandomState(1)
+    B, K, N = 8, 64, 96
+    x = jnp.asarray(rng.randn(B, K).astype(np.float32))
+    w = jnp.asarray(rng.randn(K, N).astype(np.float32)) * 0.05
+    wq, s = quantize_weight(w)
+
+    y = quant_matmul(x, wq, s, block_k=16, block_n=32, interpret=True)
+    ref = (x @ (wq.astype(jnp.float32) * s[None, :]))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    # and the quantized product approximates the unquantized one
+    full = np.asarray(x @ w)
+    rel = np.abs(np.asarray(y) - full) / (np.abs(full).max() + 1e-6)
+    assert rel.max() < 0.02
+
+
+def test_quant_matmul_bf16_activations():
+    rng = np.random.RandomState(2)
+    B, K, N = 4, 32, 32
+    x = jnp.asarray(rng.randn(B, K), jnp.bfloat16)
+    w = jnp.asarray(rng.randn(K, N).astype(np.float32)) * 0.1
+    wq, s = quantize_weight(w)
+    y = quant_matmul(x, wq, s, block_k=16, block_n=16, interpret=True)
+    assert y.dtype == jnp.float32
+    ref = x.astype(jnp.float32) @ (wq.astype(jnp.float32) * s[None, :])
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_decode_with_int8_weights():
+    """End-to-end ring decode with quantize_decode_weights: same action
+    geometry, bounded logit drift vs the exact-weight decode, and the
+    QDense/train param trees stay loadable (quantization is a runtime
+    transform, not a checkpoint format)."""
+    import dataclasses
+
+    from bdm_db1_tpu.core.config import db1_tiny
+    from bdm_db1_tpu.data.input_specs import RLTaskBatch
+    from bdm_db1_tpu.models.transformer_xl import (
+        TransformerXL, decode_weights_quantized, quantize_decode_weights,
+    )
+
+    cfg = db1_tiny()
+    cfg.model.dtype = "float32"
+    model = TransformerXL(cfg.model, cfg.vocab, cfg.vision)
+    layout = cfg.vocab.layout()
+    tok0 = jnp.zeros((1, cfg.model.n_position), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), {"rl": RLTaskBatch(
+        tokens=tok0, position_id=tok0, loss_mask=tok0, label=tok0)})["params"]
+    qparams = quantize_decode_weights(params)
+    assert decode_weights_quantized(qparams)
+    assert not decode_weights_quantized(params)
+
+    ring = model.apply({"params": params}, 2,
+                       method=TransformerXL.init_kv_cache_ring)
+    ring_q = model.apply({"params": qparams}, 2,
+                         method=TransformerXL.init_kv_cache_ring)
+    rng = np.random.RandomState(5)
+    rk = model.apply({"params": params}, 6,
+                     method=TransformerXL.precompute_rk)
+    rk_q = model.apply({"params": qparams}, 6,
+                       method=TransformerXL.precompute_rk)
+    # r_net is NOT quantized: rk must be identical
+    np.testing.assert_array_equal(np.asarray(rk), np.asarray(rk_q))
+
+    drifts = []
+    for step in range(3):
+        t = jnp.asarray(
+            rng.randint(0, layout.total_vocab_size, (2, 6)), jnp.int32)
+        p = jnp.asarray(rng.randint(0, 8, (2, 6)), jnp.int32)
+        lg, ring = model.apply({"params": params}, t, p, ring, rk,
+                               method=TransformerXL.decode_rl_kv_ring)
+        lg_q, ring_q = model.apply({"params": qparams}, t, p, ring_q, rk,
+                                   method=TransformerXL.decode_rl_kv_ring)
+        lg, lg_q = np.asarray(lg), np.asarray(lg_q)
+        assert lg_q.shape == lg.shape and np.isfinite(lg_q).all()
+        spread = lg.max() - lg.min() + 1e-6
+        drifts.append(np.abs(lg_q - lg).max() / spread)
+    # per-channel int8 weight noise stays a small fraction of logit range
+    assert max(drifts) < 0.01, drifts
