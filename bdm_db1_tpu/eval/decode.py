@@ -85,6 +85,15 @@ def fold_env_mask_bias(base_bias: np.ndarray, layout: VocabLayout,
     return bias
 
 
+@partial(jax.jit, static_argnums=(2,))
+def _fold_mask_dev(base_bias, mask, lo: int):
+    """base_bias [B, V] with (1-mask)*1e10 subtracted over the discrete
+    action id range — the device-side half of fold_env_mask_bias."""
+    n = mask.shape[1]
+    extra = (1.0 - mask) * 1e10
+    return base_bias.at[:, lo:lo + n].add(-extra)
+
+
 class ActionDecoder:
     """Per-environment-geometry greedy decoder (jit cache per prime qlen)."""
 
@@ -233,15 +242,19 @@ class ActionDecoder:
             return jnp.broadcast_to(jnp.asarray(p, jnp.int32)[None], (b, q))
 
         pos = self._pos_cache.get((b, q, lead), _make_pos)
-        if env_action_mask is None:
-            bias_dev = self._bias_dev_cache.get(b, lambda: jnp.asarray(
-                np.broadcast_to(self._base_bias,
-                                (b,) + self._base_bias.shape)))
-        else:
-            bias = self.bias_with_env_mask(env_action_mask)
-            if bias.ndim == 1:
-                bias = np.broadcast_to(bias, (b,) + bias.shape)
-            bias_dev = jnp.asarray(bias)
+        bias_dev = self._bias_dev_cache.get(b, lambda: jnp.asarray(
+            np.broadcast_to(self._base_bias,
+                            (b,) + self._base_bias.shape)))
+        if env_action_mask is not None and self.discrete_action:
+            # fold the per-step env mask on DEVICE: only the [B, n] mask
+            # crosses the host->device boundary, not a fresh [B, V] f32
+            # bias (~5 MB/step at batch 40 — a real cost on a remote-TPU
+            # tunnel; reference folds host-side, evaluate_rl.py:119-123)
+            m = np.asarray(env_action_mask, np.float32)
+            if m.ndim == 1:
+                m = np.broadcast_to(m, (b,) + m.shape)
+            bias_dev = _fold_mask_dev(bias_dev, jnp.asarray(m),
+                                      self.layout.discrete_offset)
         tokens = jnp.asarray(prime_tokens, jnp.int32)
         images = (jnp.asarray(prime_images, jnp.float32)
                   if prime_images is not None else None)
