@@ -288,7 +288,16 @@ class ActionDecoder:
                 if plan is not None:
                     sizes, frame_splits = plan
             if sizes is not None and lead:
-                sizes[0] += lead
+                if sizes[0] + lead <= chunk:
+                    sizes[0] += lead
+                else:
+                    # first slice already at the chunk budget (== mem_len
+                    # on small configs): the lead token gets its own
+                    # 1-token slice — exactly the old fold forward, still
+                    # one program
+                    sizes.insert(0, lead)
+                    if frame_splits is not None:
+                        frame_splits = (0,) + tuple(frame_splits)
         rk_chunks = (tuple(self._rk_for(s) for s in sizes)
                      if sizes is not None else (self._rk_for(q),))
         act_tokens, new_mems = self._jit_decode(
@@ -367,8 +376,10 @@ def _decode_step(model, action_length, use_kv_cache, variables, tokens, pos,
                 img_c = None
                 if images is not None:
                     nf = frame_splits[ci]
-                    img_c = jax.lax.slice_in_dim(images, f0, f0 + nf, axis=1)
-                    f0 += nf
+                    if nf:  # a lead-token slice carries no frames
+                        img_c = jax.lax.slice_in_dim(
+                            images, f0, f0 + nf, axis=1)
+                        f0 += nf
                 logits, mems = model.apply(
                     variables,
                     jax.lax.slice_in_dim(tokens, start, start + size, axis=1),

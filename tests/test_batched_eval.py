@@ -418,3 +418,48 @@ def test_deferred_last_action_matches_fold():
 
     for k, (a, b) in enumerate(zip(acts_a, acts_b)):
         np.testing.assert_array_equal(a, b, err_msg=f"step {k}")
+
+
+def test_deferred_token_with_chunked_prime():
+    """A deferred action token riding in front of a LONG prime (q > chunk,
+    so the chunk plan slices it; the lead token joins the first slice)
+    still matches the fold-forward chain exactly."""
+    cfg, model, params, tenvs = _setup(
+        FakeContinuousEnv, 2, obs_dim=4, act_dim=2, episode_len=6)
+    decoder = build_decoder_for_env(model, params, tenvs[0])
+    from bdm_db1_tpu.eval.decode import _prime_chunk
+
+    chunk = _prime_chunk(model.cfg)
+    layout = cfg.vocab.layout()
+    rs = np.random.RandomState(11)
+    sep = np.array([tenvs[0].separator_id], dtype=np.int64)
+
+    def rand_obs_prime():
+        raws = [rs.randn(4).astype(np.float32) for _ in range(2)]
+        obs_tok, _ = tenvs[0].encode_obs_batch(raws)
+        return np.concatenate([obs_tok, np.broadcast_to(sep, (2, 1))], axis=1)
+
+    # step 1: short obs prime; step 2: a LONG prime (> chunk) built from
+    # whole transitions so it starts at a transition boundary
+    step = tenvs[0].obs_length + tenvs[0].action_length + 1
+    n_trans = chunk // step + 2
+    long_prime = np.concatenate(
+        [np.concatenate([rand_obs_prime(),
+                         np.asarray(layout.encode_continuous(
+                             rs.randint(0, 64, (2, 2))), np.int64)], axis=1)
+         for _ in range(n_trans)] + [rand_obs_prime()], axis=1)
+    assert long_prime.shape[1] > chunk
+    short_prime = rand_obs_prime()
+
+    mems = decoder.init_mems(2)
+    a1, mems = decoder.decode(short_prime, mems)
+    a2, _ = decoder.decode(long_prime, mems)
+
+    mems = decoder.init_mems(2)
+    b1, mems = decoder.decode(short_prime, mems, defer_last=True)
+    b1 = np.asarray(b1)
+    b2, _ = decoder.decode(long_prime, mems, deferred_tok=b1[:, -1],
+                           defer_last=True)
+
+    np.testing.assert_array_equal(np.asarray(a1), b1)
+    np.testing.assert_array_equal(np.asarray(a2), np.asarray(b2))
