@@ -101,6 +101,16 @@ class ModelConfig:
     # when shapes allow; "on" forces it (interpret mode off-TPU, for
     # tests); "off" keeps the XLA einsum ring path.
     decode_flash: str = "auto"
+    # speculative (Jacobi) greedy action decode (eval/decode.py): guess the
+    # whole continuous-action token block from the previous env step,
+    # verify every dimension in one multi-query forward, and loop on
+    # device until the greedy fixed point. Produces exactly the sequential
+    # greedy actions (same same_length ring argument as chunked priming /
+    # deferred tokens) in 1 forward per env step at full acceptance vs
+    # action_length forwards sequentially — control policies' temporal
+    # action smoothness makes acceptance high. Ignored for discrete
+    # (single-token) actions and non-same_length configs.
+    decode_speculative: bool = False
 
     @property
     def d_head(self) -> int:

@@ -132,6 +132,33 @@ class ActionDecoder:
         # every query sees exactly mem_len keys regardless of how the token
         # stream is split into forwards.
         self.defers = self.use_kv_cache and model.cfg.same_length
+        # speculative (Jacobi) greedy decode (ModelConfig.decode_speculative):
+        # ALL action tokens defer into the next prime; the current step's
+        # tokens are guessed from the previous step's action (control
+        # policies are temporally smooth), verified as a query-only tail of
+        # the prime forward, and corrected by an on-device while_loop of
+        # commit-nothing verify forwards. 1 forward per env step at full
+        # acceptance vs 1 + (action_length - 1) sequentially; worst case
+        # (every guess wrong every round) equals the sequential count.
+        self.speculates = (bool(getattr(model.cfg, "decode_speculative",
+                                        False))
+                           and self.defers and not discrete_action
+                           and self.action_length > 1)
+        # how many trailing action tokens of a decode the caller must carry
+        # into the next call's deferred_tok (1 = classic defer_last)
+        self.defer_width = self.action_length if self.speculates else 1
+        if self.speculates:
+            # cold-start guess (episode's first step): the mid-range
+            # continuous bin (~action 0.0); wrong guesses only cost verify
+            # rounds, never correctness
+            self._default_guess = int(
+                layout.continuous_offset + layout.num_continuous_bin // 2)
+            self._jit_decode_spec = jax.jit(
+                partial(_decode_step_spec, model, self.action_length),
+                donate_argnums=(3,),
+                # frame_splits, tail, defer_last
+                static_argnums=(9, 11, 12),
+            )
         # donate the memory/cache carry: without this every step copies the
         # whole [n_layer, B, mem_len, ...] cache (3.2GB at 1.2B, batch 16)
         self._jit_decode = jax.jit(
@@ -222,20 +249,25 @@ class ActionDecoder:
                 prime_images = prime_images[None]
         defer_last = defer_last and self.defers
         lead = 0
+        deferred = None
         if deferred_tok is not None:
             assert self.defers, "deferred_tok needs same_length ring decode"
-            dt = np.asarray(deferred_tok, np.int64).reshape(-1)
-            prime_tokens = np.concatenate(
-                [np.broadcast_to(dt, (prime_tokens.shape[0],))[:, None],
-                 prime_tokens], axis=1)
-            lead = 1
+            dt = np.asarray(deferred_tok, np.int64)
+            if single:
+                dt = dt.reshape(1, -1)
+            elif dt.ndim <= 1:          # one token per row (defer_width 1)
+                dt = np.broadcast_to(
+                    dt.reshape(-1), (prime_tokens.shape[0],))[:, None]
+            deferred = dt               # [B, defer_width]
+            prime_tokens = np.concatenate([dt, prime_tokens], axis=1)
+            lead = dt.shape[1]
         b, q = prime_tokens.shape
 
         def _make_pos():
             _, p = action_flags_and_position_ids(
                 q - lead, self.obs_length, self.action_length, 0)
-            if lead:  # deferred action token carries the action slot id 0
-                p = np.concatenate([np.zeros(1, p.dtype), p])
+            if lead:  # deferred action tokens carry the action slot id 0
+                p = np.concatenate([np.zeros(lead, p.dtype), p])
             # device-resident: position ids are a pure function of the
             # prime geometry, and re-uploading them each step costs a
             # tunnel round trip (~27 ms) in remote-TPU setups
@@ -298,6 +330,10 @@ class ActionDecoder:
                     sizes.insert(0, lead)
                     if frame_splits is not None:
                         frame_splits = (0,) + tuple(frame_splits)
+        if self.speculates:
+            return self._dispatch_spec(tokens, pos, mems, bias_dev, images,
+                                       sizes, frame_splits, q, deferred,
+                                       defer_last)
         rk_chunks = (tuple(self._rk_for(s) for s in sizes)
                      if sizes is not None else (self._rk_for(q),))
         act_tokens, new_mems = self._jit_decode(
@@ -305,6 +341,53 @@ class ActionDecoder:
             bias_dev, images, rk_chunks, self._rk_for(1), frame_splits,
             defer_last)
         return act_tokens, new_mems
+
+    def _dispatch_spec(self, tokens, pos, mems, bias_dev, images, sizes,
+                       frame_splits, q, deferred, defer_last):
+        """Assemble the speculative decode call: persistence guesses from
+        the deferred previous action (or the mid-range cold guess), the
+        ring slice plan with the guess tail riding the last slice, and the
+        per-qlen positional projections."""
+        S = self.action_length - 1
+        b = tokens.shape[0]
+        M = self.model.cfg.mem_len
+        if (deferred is not None
+                and deferred.shape[1] == self.action_length):
+            guesses = deferred[:, :S]
+        else:
+            guesses = np.full((b, S), self._default_guess, np.int64)
+        tail = True
+        if sizes is None and q <= M:
+            sizes = [q]
+        if sizes is None:
+            tail = False                 # window-slide prime (q > mem_len)
+        elif sizes[-1] + S > M:
+            # the guess tail must fit the ring call's q <= mem_len bound
+            if frame_splits is None and M - S >= 1:
+                t = sizes[-1]
+                sizes[-1:] = [t - (M - S), M - S]
+            else:
+                # transition-aligned image slices can't re-split: commit
+                # the prime plain and let the verify loop do round 1
+                tail = False
+        if sizes is not None:
+            rk_chunks = tuple(
+                self._rk_for(s + (S if (tail and i == len(sizes) - 1)
+                                  else 0))
+                for i, s in enumerate(sizes))
+        else:
+            rk_chunks = (self._rk_for(q),)
+        act, new_mems, rounds = self._jit_decode_spec(
+            {"params": self.params}, tokens, pos, mems, bias_dev, images,
+            rk_chunks, self._rk_for(S),
+            None if defer_last else self._rk_for(self.action_length),
+            frame_splits, jnp.asarray(guesses, jnp.int32), tail,
+            defer_last)
+        # verify rounds of the last call (device scalar, no sync): rounds+1
+        # total forwards vs action_length sequentially — bench.py reports
+        # the mean as the acceptance diagnostic
+        self.last_spec_rounds = rounds
+        return act, new_mems
 
     def _image_chunk_plan(self, q: int, n_frames: int):
         """Transition-aligned prime slicing for image geometries.
@@ -457,6 +540,146 @@ def _decode_step(model, action_length, use_kv_cache, variables, tokens, pos,
         # the memory)
         act = jnp.concatenate([tok0[None], rest[:-1]], axis=0)  # [n, B]
     return act.T, mems
+
+
+def _leading_matches(ok):
+    """Per-row length of the leading all-True run of ok [B, S]."""
+    return jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=1), axis=1)
+
+
+def _decode_step_spec(model, action_length, variables, tokens, pos, mems,
+                      bias, images, rk_chunks, rk_verify, rk_fold,
+                      frame_splits, guesses, tail, defer_last):
+    """Speculative (Jacobi) greedy decode, entirely on device.
+
+    tokens [B, w]: the commit block ([deferred previous action ||] obs ||
+    sep); guesses [B, S = action_length-1]: predicted tokens for the first
+    S action dims (the previous step's action — control policies are
+    temporally smooth). The prime commits exactly as in :func:`_decode_step`
+    but carries the guesses as a query-only tail (``spec_tail``) of its
+    last ring slice, so its one forward yields greedy candidates for ALL
+    action dims at once: position j's candidate is exact whenever guesses
+    0..j-1 are. A device ``while_loop`` of commit-nothing verify forwards
+    (q = S) then drives every row to the greedy fixed point — candidate 0
+    is always exact, so each round confirms at least one more dim and the
+    loop runs at most S rounds (the sequential-scan cost) and exactly 0
+    rounds at full acceptance. Exactness is the chunked-priming argument:
+    under same_length ring attention a query's key set is identical
+    however the stream is split across forwards, and wrong guesses are
+    never committed (their K/V rows don't write), so the final actions
+    equal the sequential greedy ones bit-for-bit on the exact-cache path.
+
+    With ``defer_last`` the confirmed block never commits here at all —
+    it rides as the next call's ``deferred_tok`` lead (the generalization
+    of defer_last from 1 to action_length tokens); otherwise a trailing
+    fold forward commits it (``rk_fold``).
+
+    Reference hot loop this replaces: one host-driven forward per action
+    dim, evaluate_rl.py:177-258."""
+    from bdm_db1_tpu.models.transformer_xl import TransformerXL
+
+    b, q = tokens.shape
+    S = action_length - 1
+    M = model.cfg.mem_len
+    gpos = jnp.zeros((b, S), jnp.int32)
+    bias3 = bias[:, None, :]
+
+    if q <= M or len(rk_chunks) > 1:
+        # commit the prime slice by slice (static unroll); in tail mode the
+        # last slice carries the guesses and returns [B, S+1, V] logits
+        logits = None
+        start = f0 = 0
+        for ci, rk_c in enumerate(rk_chunks):
+            is_last = ci == len(rk_chunks) - 1
+            st = S if (tail and is_last) else 0
+            size = rk_c.shape[1] - M - st
+            tok_c = jax.lax.slice_in_dim(tokens, start, start + size, axis=1)
+            pos_c = jax.lax.slice_in_dim(pos, start, start + size, axis=1)
+            img_c = None
+            if images is not None:
+                if frame_splits is None:
+                    img_c = images        # single-slice prime
+                else:
+                    nf = frame_splits[ci]
+                    if nf:
+                        img_c = jax.lax.slice_in_dim(
+                            images, f0, f0 + nf, axis=1)
+                        f0 += nf
+            if st:
+                tok_c = jnp.concatenate(
+                    [tok_c, guesses.astype(tok_c.dtype)], axis=1)
+                pos_c = jnp.concatenate([pos_c, gpos], axis=1)
+            logits, mems = model.apply(
+                variables, tok_c, pos_c, mems, rk_c, img_c,
+                method=TransformerXL.decode_rl_kv_ring, spec_tail=st)
+            start += size
+    else:
+        # misaligned image prime longer than the window: same realign +
+        # window-slide fallback as _decode_step (commits the prime; round
+        # 1 then runs in the verify loop)
+        from bdm_db1_tpu.models.transformer_xl import (
+            dequantize_kv, quantize_kv_rows,
+        )
+
+        quant = "k_scale" in mems
+        dt = jnp.dtype(model.cfg.dtype)
+        if quant:
+            ring = dict(mems)
+            ring["k"] = dequantize_kv(mems["k"], mems["k_scale"], dt)
+            ring["v"] = dequantize_kv(mems["v"], mems["v_scale"], dt)
+        else:
+            ring = mems
+        aligned = model.apply(variables, ring,
+                              method=TransformerXL.align_ring_cache)
+        logits, aligned = model.apply(
+            variables, tokens, pos, aligned, images, rk_chunks[0],
+            method=TransformerXL.decode_rl_kv)
+        if quant:
+            kq, ks = quantize_kv_rows(aligned["k"])
+            vq, vs = quantize_kv_rows(aligned["v"])
+            mems = {"k": kq, "v": vq, "k_scale": ks, "v_scale": vs,
+                    "cursor": jnp.zeros((), jnp.int32)}
+        else:
+            mems = {"k": aligned["k"], "v": aligned["v"],
+                    "cursor": jnp.zeros((), jnp.int32)}
+
+    if tail:
+        # [B, S+1] candidates; leading guess matches are confirmed exact
+        cand = jnp.argmax(logits + bias3, axis=-1).astype(jnp.int32)
+        done0 = _leading_matches(guesses == cand[:, :S]) >= S
+        carry0 = (cand[:, :S], cand, done0, jnp.zeros((), jnp.int32))
+    else:
+        c0 = jnp.argmax(logits + bias, axis=-1).astype(jnp.int32)  # [B]
+        # candidates beyond dim 0 are unverified placeholders; done=False
+        # forces at least one verify round
+        c = jnp.concatenate([c0[:, None], guesses], axis=1)
+        carry0 = (guesses, c, jnp.zeros((b,), bool),
+                  jnp.zeros((), jnp.int32))
+
+    def cond(carry):
+        return ~jnp.all(carry[2])
+
+    def body(carry):
+        g, c, done, rounds = carry
+        lg, _ = model.apply(
+            variables, g, gpos, mems, rk_verify,
+            method=TransformerXL.decode_rl_kv_ring, spec_tail=S)
+        # position j's logits candidate action dim j+1; dim 0 is fixed
+        # exact from the prime round
+        c2 = jnp.argmax(lg + bias3, axis=-1).astype(jnp.int32)  # [B, S]
+        c_new = jnp.concatenate([c[:, :1], c2], axis=1)
+        done_new = done | (_leading_matches(g == c_new[:, :S]) >= S)
+        return (c_new[:, :S], c_new, done_new, rounds + 1)
+
+    _, act, _, rounds = jax.lax.while_loop(cond, body, carry0)
+
+    if not defer_last:
+        # fold the confirmed block so non-deferring callers get committed
+        # memory (the deferring cohort rides it into the next prime)
+        _, mems = model.apply(
+            variables, act, jnp.zeros((b, action_length), jnp.int32), mems,
+            rk_fold, method=TransformerXL.decode_rl_kv_ring)
+    return act, mems, rounds
 
 
 class DecoderPool:

@@ -71,7 +71,8 @@ def run_episode(
             prime, mems, prime_images=prime_img, env_action_mask=action_mask,
             deferred_tok=deferred, defer_last=defers)
         if defers:
-            deferred = np.asarray(act_tokens)[..., -1:]
+            w = int(getattr(decoder, "defer_width", 1))
+            deferred = np.asarray(act_tokens)[..., -w:]
         action = env.tok.decode_action(act_tokens, env.discrete_action)
         obs_tokens, obs_img, action_mask, reward, done, _ = env.step(action)
         episode_return += reward
@@ -291,6 +292,9 @@ class _LockstepCohort:
         # rides in front of it instead of costing its own cache-fold
         # forward (ActionDecoder.decode_async defer_last)
         self._defers = bool(getattr(decoder, "defers", False))
+        # speculative decoders defer the WHOLE action block (and reuse it
+        # as next step's guesses); classic deferral carries the last token
+        self._defer_width = int(getattr(decoder, "defer_width", 1))
         self._deferred = None
 
     def dispatch(self) -> None:
@@ -310,7 +314,8 @@ class _LockstepCohort:
         act_tokens = np.asarray(self._pending)
         self._pending = None
         if self._defers:
-            self._deferred = act_tokens[:, -1]
+            self._deferred = (act_tokens if self._defer_width > 1
+                              else act_tokens[:, -1])
         live = np.flatnonzero(~self.done)
         if live.size == 0:
             return True

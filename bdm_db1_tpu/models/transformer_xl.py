@@ -872,6 +872,7 @@ class TransformerXL(nn.Module):
                                   # (+"k_scale"/"v_scale" [L,B,M,H] if int8)
         rk_full: Array,         # [L, M+q, H, Dh] precomputed projections
         images: Optional[Array] = None,
+        spec_tail: int = 0,
     ) -> Tuple[Array, Dict[str, Array]]:
         """Autoregressive decode over a ring-buffer cache, any qlen up to
         mem_len — used for BOTH the multi-token prime and the per-action
@@ -887,7 +888,18 @@ class TransformerXL(nn.Module):
         them (``_use_flash_decode``; ops/flash_ring_decode.py — the stacked
         cache streams HBM once per forward); otherwise the XLA einsum ring
         branch below is the fallback (and the parity oracle for the
-        kernels, tests/test_flash_decode.py)."""
+        kernels, tests/test_flash_decode.py).
+
+        ``spec_tail`` (static) marks the trailing ``spec_tail`` tokens as
+        query-only *speculative guesses* (eval/decode.py Jacobi decode):
+        they attend normally (under same_length every query sees exactly
+        mem_len keys, so their logits are the ones a sequential decode
+        would produce once their input prefix is confirmed — the chunked-
+        priming argument) but their K/V rows are NOT committed and the
+        cursor advances only past the q - spec_tail real tokens. Returns
+        logits at every position from the last committed token on
+        ([B, spec_tail+1, V]; [B, q, V] when nothing commits) instead of
+        the last position only."""
         cfg = self.cfg
         M = cfg.mem_len
         qlen = tokens.shape[1]
@@ -933,26 +945,33 @@ class TransformerXL(nn.Module):
             mem_xs = (cache["k"], cache["v"], rk_full, cursor_per_layer)
         h, (k_x, v_x) = self.layers(h, mem_xs, None, mask, r_w, r_r, True,
                                     flash_kv)
-        logits = self.logits(h[:, -1:, :])[:, 0, :]
+        n_commit = qlen - spec_tail
+        assert 0 <= n_commit <= qlen, (qlen, spec_tail)
+        if spec_tail:
+            logits = self.logits(h[:, max(n_commit - 1, 0):, :])
+        else:
+            logits = self.logits(h[:, -1:, :])[:, 0, :]
+        if n_commit == 0:  # pure verify forward: nothing to write
+            return logits, cache
 
-        # write the q new rows at (cursor + t) % M — no full-cache copy.
-        # q == 1 (the per-action-dim decode steps, 6-7 of the 8 forwards
-        # per env step) can never wrap, so it uses dynamic_update_slice:
-        # an index-vector scatter makes XLA pick a scatter-friendly layout
-        # for the whole while-loop cache carry and insert a ~100 MB/layer
-        # relayout copy in front of every score dot (xprof-measured ~20
-        # ms/step at 1.2B batch 24). Multi-token primes can wrap and keep
-        # the modular scatter.
-        k_x = jax.lax.stop_gradient(k_x)
-        v_x = jax.lax.stop_gradient(v_x)
+        # write the n_commit new rows at (cursor + t) % M — no full-cache
+        # copy. q == 1 (the per-action-dim decode steps, 6-7 of the 8
+        # forwards per env step) can never wrap, so it uses
+        # dynamic_update_slice: an index-vector scatter makes XLA pick a
+        # scatter-friendly layout for the whole while-loop cache carry and
+        # insert a ~100 MB/layer relayout copy in front of every score dot
+        # (xprof-measured ~20 ms/step at 1.2B batch 24). Multi-token primes
+        # can wrap and keep the modular scatter.
+        k_x = jax.lax.stop_gradient(k_x)[:, :, :n_commit]
+        v_x = jax.lax.stop_gradient(v_x)[:, :, :n_commit]
         if quantized:
             kv = {"k": quantize_kv_rows(k_x), "v": quantize_kv_rows(v_x)}
-        if qlen == 1:
+        if n_commit == 1:
             def put(buf, upd, axis=2):
                 return jax.lax.dynamic_update_slice_in_dim(
                     buf, upd, cursor, axis=axis)
         else:
-            idx = (cursor + jnp.arange(qlen)) % M
+            idx = (cursor + jnp.arange(n_commit)) % M
 
             def put(buf, upd, axis=2):
                 assert axis == 2
@@ -963,13 +982,13 @@ class TransformerXL(nn.Module):
                 "v": put(cache["v"], kv["v"][0]),
                 "k_scale": put(cache["k_scale"], kv["k"][1]),
                 "v_scale": put(cache["v_scale"], kv["v"][1]),
-                "cursor": (cursor + qlen) % M,
+                "cursor": (cursor + n_commit) % M,
             }
         else:
             new_cache = {
                 "k": put(cache["k"], k_x),
                 "v": put(cache["v"], v_x),
-                "cursor": (cursor + qlen) % M,
+                "cursor": (cursor + n_commit) % M,
             }
         return logits, new_cache
 

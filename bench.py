@@ -123,6 +123,12 @@ def main() -> None:
                     help="eval mode: decode KV ring cache storage; int8 "
                          "halves the cache HBM read per decode step "
                          "(tolerance path, not bit-parity)")
+    ap.add_argument("--speculate", action="store_true",
+                    help="speculative (Jacobi) greedy decode for continuous"
+                         " actions: guess the whole action block from the"
+                         " previous step, verify on device; exact greedy,"
+                         " 1 forward/env-step at full acceptance vs 6"
+                         " (ModelConfig.decode_speculative)")
     ap.add_argument("--prng-impl", default="rbg",
                     choices=["rbg", "unsafe_rbg", "threefry"],
                     help="train mode: PRNG behind the dropout masks; rbg = "
@@ -217,6 +223,7 @@ def _eval_setup(args, n_envs: int, episode_len: int, geometry: str):
         cfg.model.param_dtype = "bfloat16"
     cfg.model.decode_cache_dtype = args.cache_dtype
     cfg.model.decode_weight_dtype = getattr(args, "weight_dtype", "")
+    cfg.model.decode_speculative = getattr(args, "speculate", False)
 
     if geometry == "mujoco":
         obs_dim, act_dim = (4, 2) if args.smoke else (17, 6)
@@ -288,6 +295,7 @@ def bench_eval(args, geometry=None, tag: str = "") -> None:
     mems = decoder.init_mems(B)
 
     times = []
+    spec_rounds = []
     deferred = None
     for step_i in range(episode_len):
         t0 = time.perf_counter()
@@ -297,8 +305,12 @@ def bench_eval(args, geometry=None, tag: str = "") -> None:
                                           defer_last=decoder.defers)
         act_tokens = np.asarray(act_tokens)  # block on device
         if decoder.defers:
-            deferred = act_tokens[:, -1]
+            deferred = act_tokens[:, -decoder.defer_width:] \
+                if decoder.defer_width > 1 else act_tokens[:, -1]
         dt = time.perf_counter() - t0
+        if getattr(decoder, "speculates", False) and step_i >= args.warmup:
+            # device scalar; fetched in bulk after the loop
+            spec_rounds.append(decoder.last_spec_rounds)
         acts = tenvs[0].tok.decode_action_batch(
             act_tokens, tenvs[0].discrete_action)
         raws = []
@@ -316,7 +328,9 @@ def bench_eval(args, geometry=None, tag: str = "") -> None:
     mean_dt = float(np.mean(times))
     actions_per_sec = B / mean_dt
     suffix = ("" if geometry == "mujoco" else f"_{geometry}") + tag
-    print(json.dumps({
+    if getattr(args, "speculate", False):
+        suffix += "_spec"
+    rec = {
         "metric": (f"rl_eval_actions_per_sec_1p2b{suffix}"
                    if not args.smoke
                    else f"rl_eval_actions_per_sec_smoke{suffix}"),
@@ -324,7 +338,13 @@ def bench_eval(args, geometry=None, tag: str = "") -> None:
         "unit": "actions/sec",
         "vs_baseline": round(
             actions_per_sec / A100_BASELINE_ACTIONS_PER_SEC, 3),
-    }), flush=True)
+    }
+    if spec_rounds:
+        # mean verify rounds per env step: 0 = every guess accepted (1
+        # forward/step); action_length-1 = worst case (sequential cost)
+        rec["spec_verify_rounds_mean"] = round(
+            float(np.mean([int(r) for r in spec_rounds])), 3)
+    print(json.dumps(rec), flush=True)
 
 
 def bench_production(args) -> None:
@@ -369,6 +389,8 @@ def bench_production(args) -> None:
     total_actions = sum(r["length_mean"] * r["num_trials"] for r in res)
     actions_per_sec = total_actions / dt
     suffix = "" if args.geometry == "mujoco" else f"_{args.geometry}"
+    if getattr(args, "speculate", False):
+        suffix += "_spec"
     print(json.dumps({
         "metric": (f"rl_eval_actions_per_sec_production_1p2b{suffix}"
                    if not args.smoke

@@ -1,0 +1,163 @@
+"""Speculative (Jacobi) greedy action decode: exactness vs the sequential
+scan, across the prime variants (one-shot, chunked episode start,
+tail-split, flash-interpret kernels) and through the lockstep cohort.
+
+The claim under test (eval/decode.py _decode_step_spec): guessing the whole
+continuous-action token block, verifying it as a query-only tail
+(models/transformer_xl.py decode_rl_kv_ring spec_tail) and Jacobi-iterating
+commit-nothing verify forwards produces exactly the actions the sequential
+per-dim decode produces — the reference's one-forward-per-action-dim loop
+(reference: src/evaluation/evaluate_rl.py:177-258) collapsed to as little
+as one forward per env step."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from bdm_db1_tpu.eval.decode import build_decoder_for_env
+from bdm_db1_tpu.eval.envs import FakeContinuousEnv, FakeDiscreteEnv
+from bdm_db1_tpu.eval.harness import run_batched_episodes
+from bdm_db1_tpu.models.transformer_xl import TransformerXL
+
+from test_batched_eval import _setup
+
+
+def _spec_decoder(cfg, model, params, tenv, **over):
+    scfg = dataclasses.replace(model.cfg, decode_speculative=True, **over)
+    smodel = TransformerXL(scfg, cfg.vocab, cfg.vision)
+    return build_decoder_for_env(smodel, params, tenv)
+
+
+def _episode_primes(tenvs, seed, n_steps, obs_dim):
+    """A fixed prime stream (episode-start prompt + random obs primes) so
+    two decode chains consume identical inputs."""
+    rng = np.random.RandomState(seed)
+    sep = np.array([tenvs[0].separator_id], dtype=np.int64)
+    starts = []
+    for te in tenvs:
+        prompt, _ = te.get_prompt(strict_length=True, rng=rng)
+        obs, _, _ = te.reset()
+        starts.append(np.concatenate([prompt, obs, sep]))
+    rs = np.random.RandomState(seed + 1)
+
+    def rand_prime():
+        raws = [rs.randn(obs_dim).astype(np.float32)
+                for _ in range(len(tenvs))]
+        obs_tok, _ = tenvs[0].encode_obs_batch(raws)
+        return np.concatenate(
+            [obs_tok, np.broadcast_to(sep, (len(tenvs), 1))], axis=1)
+
+    return [np.stack(starts)] + [rand_prime() for _ in range(n_steps - 1)]
+
+
+def _chain(decoder, primes, defer):
+    mems = decoder.init_mems(primes[0].shape[0])
+    acts, deferred = [], None
+    for p in primes:
+        if defer:
+            a, mems = decoder.decode(p, mems, deferred_tok=deferred,
+                                     defer_last=True)
+            deferred = np.asarray(a)[..., -decoder.defer_width:]
+        else:
+            a, mems = decoder.decode(p, mems)
+        acts.append(np.asarray(a))
+    return acts
+
+
+def test_speculative_matches_sequential():
+    """Deferred spec chain and fold-path spec chain both reproduce the
+    sequential greedy actions exactly, including the chunked episode-start
+    prime (prompt length > chunk budget)."""
+    cfg, model, params, tenvs = _setup(
+        FakeContinuousEnv, 2, obs_dim=4, act_dim=3, episode_len=6)
+    dec = build_decoder_for_env(model, params, tenvs[0])
+    sdec = _spec_decoder(cfg, model, params, tenvs[0])
+    assert sdec.speculates and sdec.defer_width == 3
+    primes = _episode_primes(tenvs, 0, 4, 4)
+    ref = _chain(dec, primes, defer=False)
+    for defer in (True, False):
+        got = _chain(sdec, primes, defer=defer)
+        for k, (a, b) in enumerate(zip(ref, got)):
+            np.testing.assert_array_equal(a, b,
+                                          err_msg=f"defer={defer} step {k}")
+    # the loop's round counter is a device scalar bounded by S
+    rounds = int(sdec.last_spec_rounds)
+    assert 0 <= rounds <= sdec.action_length - 1
+
+
+def test_speculative_flash_kernels_match():
+    """Spec decode through the Pallas ring kernels (interpret mode on CPU)
+    matches the XLA sequential path."""
+    cfg, model, params, tenvs = _setup(
+        FakeContinuousEnv, 2, obs_dim=4, act_dim=3, episode_len=6)
+    dec = build_decoder_for_env(model, params, tenvs[0])
+    fdec = _spec_decoder(cfg, model, params, tenvs[0], decode_flash="on")
+    primes = _episode_primes(tenvs, 3, 3, 4)
+    ref = _chain(dec, primes, defer=False)
+    got = _chain(fdec, primes, defer=True)
+    for k, (a, b) in enumerate(zip(ref, got)):
+        np.testing.assert_array_equal(a, b, err_msg=f"step {k}")
+
+
+def test_speculative_tail_split():
+    """A steady prime whose guess tail would exceed mem_len (q + S > M)
+    re-splits its last ring slice; actions still match sequential."""
+    cfg, model, params, tenvs = _setup(
+        FakeContinuousEnv, 2, obs_dim=25, act_dim=4, episode_len=6)
+    # steady prime q = 4 (deferred) + 25 + 1 = 30; +S (3) = 33 > mem_len 32
+    assert model.cfg.mem_len == 32
+    dec = build_decoder_for_env(model, params, tenvs[0])
+    sdec = _spec_decoder(cfg, model, params, tenvs[0])
+    primes = _episode_primes(tenvs, 5, 3, 25)
+    ref = _chain(dec, primes, defer=False)
+    got = _chain(sdec, primes, defer=True)
+    for k, (a, b) in enumerate(zip(ref, got)):
+        np.testing.assert_array_equal(a, b, err_msg=f"step {k}")
+
+
+def test_speculative_cohort_matches_nonspec():
+    """run_batched_episodes with a speculative decoder returns the exact
+    EpisodeResults of the non-speculative decoder (greedy-equivalent
+    policies -> identical env trajectories)."""
+    cfg, model, params, tenvs = _setup(
+        FakeContinuousEnv, 3, obs_dim=4, act_dim=3, episode_len=5)
+    dec = build_decoder_for_env(model, params, tenvs[0])
+    ref = run_batched_episodes(tenvs, dec, rng=np.random.RandomState(0))
+
+    cfg2, model2, params2, tenvs2 = _setup(
+        FakeContinuousEnv, 3, obs_dim=4, act_dim=3, episode_len=5)
+    sdec = _spec_decoder(cfg2, model2, params, tenvs2[0])
+    got = run_batched_episodes(tenvs2, sdec, rng=np.random.RandomState(0))
+    assert [(r.episode_return, r.episode_length) for r in ref] == \
+        [(g.episode_return, g.episode_length) for g in got]
+
+
+def test_speculative_disabled_for_discrete():
+    """Single-token (discrete) actions have nothing to speculate — the
+    decoder falls back to classic defer_last."""
+    cfg, model, params, tenvs = _setup(
+        FakeDiscreteEnv, 1, obs_dim=4, n_actions=5, episode_len=4)
+    sdec = _spec_decoder(cfg, model, params, tenvs[0])
+    assert not sdec.speculates and sdec.defer_width == 1
+
+
+def test_spec_tail_pure_verify_leaves_cache_untouched():
+    """decode_rl_kv_ring with spec_tail == q commits nothing: cache arrays
+    and cursor come back unchanged."""
+    import jax
+
+    cfg, model, params, tenvs = _setup(
+        FakeContinuousEnv, 1, obs_dim=4, act_dim=2, episode_len=4)
+    dec = build_decoder_for_env(model, params, tenvs[0])
+    mems = dec.init_mems(1)
+    toks = jnp.array([[5, 6, 7]], jnp.int32)
+    pos = jnp.zeros((1, 3), jnp.int32)
+    rk = dec._rk_for(3)
+    logits, cache = model.apply(
+        {"params": params}, toks, pos, mems, rk,
+        method=TransformerXL.decode_rl_kv_ring, spec_tail=3)
+    assert logits.shape[:2] == (1, 3) and logits.ndim == 3
+    np.testing.assert_array_equal(np.asarray(cache["k"]),
+                                  np.asarray(mems["k"]))
+    assert int(cache["cursor"]) == int(mems["cursor"])
