@@ -142,6 +142,25 @@ def test_speculative_disabled_for_discrete():
     assert not sdec.speculates and sdec.defer_width == 1
 
 
+def test_speculative_int8_cache_runs():
+    """Spec decode over an int8 ring cache: the quantized partial-commit
+    write path works and actions stay in the continuous range. (No
+    sequential-parity claim here: the sequential int8 path reads committed
+    quantized action rows while spec attends the exact in-block tokens, so
+    int8 spec is if anything MORE exact — both are tolerance paths.)"""
+    cfg, model, params, tenvs = _setup(
+        FakeContinuousEnv, 2, obs_dim=4, act_dim=3, episode_len=6)
+    sdec = _spec_decoder(cfg, model, params, tenvs[0],
+                         decode_cache_dtype="int8")
+    assert sdec.speculates
+    layout = cfg.vocab.layout()
+    primes = _episode_primes(tenvs, 7, 3, 4)
+    acts = _chain(sdec, primes, defer=True)
+    for a in acts:
+        assert ((a >= layout.continuous_offset)
+                & (a < layout.separator_id)).all(), a
+
+
 def test_spec_tail_pure_verify_leaves_cache_untouched():
     """decode_rl_kv_ring with spec_tail == q commits nothing: cache arrays
     and cursor come back unchanged."""
