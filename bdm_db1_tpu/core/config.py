@@ -245,6 +245,13 @@ class EvalConfig:
     # to its results
     baselines_path: Optional[str] = None
     score_threshold: float = 0.5
+    # multi-chip decode: shard the decoder over make_mesh(cfg.mesh) —
+    # cohort rows over "data", cache heads + trunk weights over "model"
+    # (Megatron TP; eval/decode.py ActionDecoder(mesh=...)). Lower
+    # per-action latency and interleave*batch_size scaling O(devices).
+    # Requires model.decode_flash="off" (the fused single-chip ring
+    # kernels don't partition under pjit).
+    sharded_decode: bool = False
 
 
 @dataclass

@@ -106,10 +106,27 @@ class ActionDecoder:
         action_length: int,
         discrete_action: bool,
         num_actions: Optional[int] = None,
+        mesh=None,
     ):
         self.model = model
         self.params = params
         self.layout = layout
+        # multi-chip decode: with a jax.sharding.Mesh the ring cache shards
+        # batch over "data" (independent env rows) and heads over "model"
+        # (Megatron TP, matching the trunk weight shardings — pass params
+        # through shard_decode_params), inputs shard over "data", and XLA
+        # propagates the shardings through the jitted decode, inserting
+        # the TP collectives. The reference serves one env per GPU process
+        # (evaluate_rl.py:452-466, DP only); this adds TP serving — lower
+        # per-action latency and O(devices) cohort capacity. Requires
+        # decode_flash="off": a pallas_call is an opaque unit to the
+        # partitioner, so the fused single-chip kernels would force their
+        # operands replicated (a shard_map wrap is the fast-path follow-up).
+        self.mesh = mesh
+        if mesh is not None:
+            assert model.cfg.decode_flash == "off", (
+                "sharded decode needs decode_flash='off' — the Pallas ring "
+                "kernels do not partition under pjit")
         self.obs_length = int(obs_length)
         self.action_length = int(action_length)
         self.discrete_action = discrete_action
@@ -181,6 +198,24 @@ class ActionDecoder:
         self._bias_dev_cache = _LRU(8)
         self._pos_cache = _LRU(16)
 
+    def _dev(self, x, *axes):
+        """Host array -> device; on a mesh, shard by the given axis names
+        (inputs placed once here let jit propagate shardings end to end).
+        An axis whose size doesn't divide its mesh axis falls back to
+        replicated — e.g. a single-env (batch 1) episode on a dp > 1 mesh
+        still runs, TP-sharded only."""
+        if self.mesh is None:
+            return jnp.asarray(x)
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        x = jnp.asarray(x)
+        axes = tuple(
+            ax if (ax is None or x.shape[i] % self.mesh.shape[ax] == 0)
+            else None
+            for i, ax in enumerate(axes))
+        return jax.device_put(
+            x, NamedSharding(self.mesh, PartitionSpec(*axes)))
+
     def _rk_for(self, qlen: int):
         if not self.use_kv_cache:
             return None
@@ -189,12 +224,23 @@ class ActionDecoder:
 
     def init_mems(self, batch_size: int = 1):
         if self.use_kv_cache:
-            return self.model.apply(
+            mems = self.model.apply(
                 {"params": self.params}, batch_size,
                 method=TransformerXL.init_kv_cache_ring)
-        return self.model.apply(
+            if self.mesh is not None:
+                from bdm_db1_tpu.parallel.mesh import ring_cache_shardings
+
+                data = ("data" if batch_size % self.mesh.shape["data"] == 0
+                        else None)
+                mems = jax.device_put(
+                    mems, ring_cache_shardings(self.mesh, mems, data=data))
+            return mems
+        mems = self.model.apply(
             {"params": self.params}, batch_size,
             method=TransformerXL.init_mems)
+        if self.mesh is not None:  # hidden-state memory: [L, B, M, D]
+            mems = self._dev(mems, None, "data", None, None)
+        return mems
 
     def bias_with_env_mask(self, env_action_mask) -> np.ndarray:
         return fold_env_mask_bias(
@@ -271,12 +317,14 @@ class ActionDecoder:
             # device-resident: position ids are a pure function of the
             # prime geometry, and re-uploading them each step costs a
             # tunnel round trip (~27 ms) in remote-TPU setups
-            return jnp.broadcast_to(jnp.asarray(p, jnp.int32)[None], (b, q))
+            return self._dev(
+                np.broadcast_to(p.astype(np.int32)[None], (b, q)),
+                "data", None)
 
         pos = self._pos_cache.get((b, q, lead), _make_pos)
-        bias_dev = self._bias_dev_cache.get(b, lambda: jnp.asarray(
+        bias_dev = self._bias_dev_cache.get(b, lambda: self._dev(
             np.broadcast_to(self._base_bias,
-                            (b,) + self._base_bias.shape)))
+                            (b,) + self._base_bias.shape), "data", None))
         if env_action_mask is not None and self.discrete_action:
             # fold the per-step env mask on DEVICE: only the [B, n] mask
             # crosses the host->device boundary, not a fresh [B, V] f32
@@ -285,10 +333,10 @@ class ActionDecoder:
             m = np.asarray(env_action_mask, np.float32)
             if m.ndim == 1:
                 m = np.broadcast_to(m, (b,) + m.shape)
-            bias_dev = _fold_mask_dev(bias_dev, jnp.asarray(m),
+            bias_dev = _fold_mask_dev(bias_dev, self._dev(m, "data", None),
                                       self.layout.discrete_offset)
-        tokens = jnp.asarray(prime_tokens, jnp.int32)
-        images = (jnp.asarray(prime_images, jnp.float32)
+        tokens = self._dev(prime_tokens.astype(np.int32), "data", None)
+        images = (self._dev(np.asarray(prime_images, np.float32), "data")
                   if prime_images is not None else None)
         # long primes run through the ring in <=_PRIME_CHUNK slices: the
         # fp32 [B, H, q, M+q] score buffers of a ~1000-token expert-prompt
@@ -381,7 +429,8 @@ class ActionDecoder:
             {"params": self.params}, tokens, pos, mems, bias_dev, images,
             rk_chunks, self._rk_for(S),
             None if defer_last else self._rk_for(self.action_length),
-            frame_splits, jnp.asarray(guesses, jnp.int32), tail,
+            frame_splits, self._dev(np.asarray(guesses, np.int32),
+                                    "data", None), tail,
             defer_last)
         # verify rounds of the last call (device scalar, no sync): rounds+1
         # total forwards vs action_length sequentially — bench.py reports
@@ -688,9 +737,13 @@ class DecoderPool:
     geometries, so this caps recompiles at the number of distinct shapes
     (SURVEY.md §7 hard part 5)."""
 
-    def __init__(self, model, params):
+    def __init__(self, model, params, mesh=None):
         self.model = model
-        self.params = _maybe_quantize_weights(model, params)
+        self.mesh = mesh
+        params = _maybe_quantize_weights(model, params)
+        if mesh is not None:
+            params = shard_decode_params(params, mesh)
+        self.params = params
         self._cache = {}
 
     def get(self, tokenized_env) -> "ActionDecoder":
@@ -699,7 +752,8 @@ class DecoderPool:
         key = decode_geometry(tokenized_env)
         if key not in self._cache:
             self._cache[key] = build_decoder_for_env(
-                self.model, self.params, tokenized_env)
+                self.model, self.params, tokenized_env, mesh=self.mesh,
+                _params_placed=True)
         return self._cache[key]
 
 
@@ -795,6 +849,20 @@ def _window_decode(model, action_length, variables, tokens, pos, lengths,
     return acts
 
 
+def shard_decode_params(params, mesh):
+    """Place params on a mesh by their logical-axis metadata (the same
+    Megatron TP layout the training step uses, parallel/mesh.py
+    LOGICAL_AXIS_RULES); leaves without metadata replicate."""
+    import flax.linen as nn
+
+    from bdm_db1_tpu.parallel.mesh import axis_rules
+
+    logical = nn.get_partition_spec(params)
+    shardings = nn.logical_to_mesh_sharding(
+        logical, mesh, list(axis_rules(mesh)))
+    return jax.device_put(params, shardings)
+
+
 def _maybe_quantize_weights(model, params):
     """Opt-in int8 trunk weights for decode (ModelConfig.decode_weight_dtype;
     idempotent so DecoderPool and direct construction compose)."""
@@ -809,15 +877,21 @@ def _maybe_quantize_weights(model, params):
     return quantize_decode_weights(params)
 
 
-def build_decoder_for_env(model, params, tokenized_env) -> ActionDecoder:
+def build_decoder_for_env(model, params, tokenized_env, mesh=None,
+                          _params_placed=False) -> ActionDecoder:
     from bdm_db1_tpu.eval.envs import is_discrete_space
 
+    if not _params_placed:
+        params = _maybe_quantize_weights(model, params)
+        if mesh is not None:
+            params = shard_decode_params(params, mesh)
     discrete = is_discrete_space(tokenized_env.action_space)
     return ActionDecoder(
-        model, _maybe_quantize_weights(model, params),
+        model, params,
         tokenized_env.tok.layout,
         obs_length=tokenized_env.obs_length,
         action_length=tokenized_env.action_length,
         discrete_action=discrete,
         num_actions=tokenized_env.action_space.n if discrete else None,
+        mesh=mesh,
     )

@@ -121,7 +121,13 @@ def main(cfg: Optional[DB1Config] = None) -> List[dict]:
 
     from bdm_db1_tpu.eval.decode import DecoderPool
 
-    pool = DecoderPool(model, params)
+    mesh = None
+    if cfg.eval.sharded_decode:
+        from bdm_db1_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(cfg.mesh)
+        print_rank_0(f"sharded decode over mesh {dict(mesh.shape)}")
+    pool = DecoderPool(model, params, mesh=mesh)
     results = []
     out_path = None
     if cfg.train.save_dir:

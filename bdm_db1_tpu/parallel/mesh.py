@@ -98,3 +98,23 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, PartitionSpec())
+
+
+def ring_cache_shardings(mesh: Mesh, cache, data: Optional[str] = "data"
+                         ) -> dict:
+    """NamedShardings for a decode ring cache (eval/decode.py sharded
+    decode): batch shards over ``data`` (independent env rows; pass None
+    to replicate, e.g. a batch that doesn't divide the axis), heads over
+    "model" (attention heads are TP-independent until the output
+    projection — the same Megatron split the trunk weights use), layers/
+    positions replicated. Matches the {"k","v"[,"k_scale","v_scale"],
+    "cursor"} layouts of TransformerXL.init_kv_cache_ring."""
+    out = {}
+    for name, leaf in cache.items():
+        if name == "cursor":
+            out[name] = replicated(mesh)
+        else:  # [L, B, M, H(, Dh)] — kv scales have no trailing Dh
+            spec = (data if i == 1 else ("model" if i == 3 else None)
+                    for i in range(leaf.ndim))
+            out[name] = NamedSharding(mesh, PartitionSpec(*spec))
+    return out

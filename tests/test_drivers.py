@@ -148,6 +148,31 @@ def test_evaluate_rl_main_batched(workspace):
     assert out.count("return_mean") == 3
 
 
+def test_evaluate_rl_main_sharded_decode(workspace):
+    """eval.sharded_decode=True runs the batched driver over a dp x tp
+    mesh of the 8 virtual devices and reproduces the single-device
+    results (same greedy actions -> same returns)."""
+    from bdm_db1_tpu.eval.evaluate_rl import main
+
+    def run(sharded):
+        cfg = _tiny_cfg(workspace)
+        cfg.model.decode_flash = "off"
+        cfg.eval.env_names = ("fake-continuous-v0",)
+        cfg.eval.num_trials = 2
+        cfg.eval.max_step_size = 3
+        cfg.eval.batch_size = 2
+        if sharded:
+            cfg.eval.sharded_decode = True
+            cfg.mesh.data_parallel = 2
+            cfg.mesh.model_parallel = 4
+        cfg.train.save_dir = str(workspace / f"eval_out_sh{sharded}")
+        return main(cfg)
+
+    ref, got = run(False), run(True)
+    assert got[0]["return_mean"] == ref[0]["return_mean"]
+    assert got[0]["length_mean"] == ref[0]["length_mean"]
+
+
 def test_evaluate_rl_main_suite_summary(workspace, tmp_path):
     """With eval.baselines_path set, the driver appends the expert-
     normalized suite summary to results.output (reference headline,

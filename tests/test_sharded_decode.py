@@ -1,0 +1,103 @@
+"""Multi-chip sharded decode: the ring-cache decoder on a jax.sharding.Mesh
+(batch over "data", heads/weights over "model" Megatron TP) produces the
+single-device greedy actions.
+
+The reference serves one env per GPU process (evaluate_rl.py:452-466, DP
+only); this covers the TPU-native extension: TP-sharded serving with the
+cache partitioned over heads and XLA inserting the collectives via
+sharding propagation (eval/decode.py ActionDecoder(mesh=...)).
+"""
+
+import dataclasses
+
+import jax
+import numpy as np
+
+from bdm_db1_tpu.core.config import MeshConfig
+from bdm_db1_tpu.eval.decode import DecoderPool, build_decoder_for_env
+from bdm_db1_tpu.eval.envs import FakeContinuousEnv
+from bdm_db1_tpu.models.transformer_xl import TransformerXL
+from bdm_db1_tpu.parallel.mesh import make_mesh
+
+from test_batched_eval import _setup
+from test_speculative import _chain, _episode_primes
+
+
+def _mesh(dp, tp):
+    return make_mesh(MeshConfig(data_parallel=dp, model_parallel=tp))
+
+
+def _xla_model(cfg, model, **over):
+    return TransformerXL(
+        dataclasses.replace(model.cfg, decode_flash="off", **over),
+        cfg.vocab, cfg.vision)
+
+
+def test_sharded_decode_matches_single_device():
+    """dp=2 x tp=4 decode chain == single-device chain, and the cache carry
+    stays sharded across steps (no silent full-replication)."""
+    cfg, model, params, tenvs = _setup(
+        FakeContinuousEnv, 4, obs_dim=4, act_dim=2, episode_len=5)
+    xmodel = _xla_model(cfg, model)
+    ref_dec = build_decoder_for_env(xmodel, params, tenvs[0])
+    primes = _episode_primes(tenvs, 0, 3, 4)
+    ref = _chain(ref_dec, primes, defer=False)
+
+    mesh = _mesh(2, 4)
+    sdec = build_decoder_for_env(xmodel, params, tenvs[0], mesh=mesh)
+    mems = sdec.init_mems(4)
+    k_sh = mems["k"].sharding
+    assert "data" in str(k_sh.spec) and "model" in str(k_sh.spec), k_sh
+    acts = []
+    for p in primes:
+        a, mems = sdec.decode(p, mems)
+        acts.append(np.asarray(a))
+    for k, (a, b) in enumerate(zip(ref, acts)):
+        np.testing.assert_array_equal(a, b, err_msg=f"step {k}")
+    # propagation kept the carry sharded (donated in == out layout)
+    assert mems["k"].sharding.is_equivalent_to(k_sh, mems["k"].ndim), \
+        mems["k"].sharding
+
+
+def test_sharded_speculative_decode():
+    """Speculative decode composes with the mesh: same actions, one jitted
+    program with the verify while_loop running on sharded operands."""
+    cfg, model, params, tenvs = _setup(
+        FakeContinuousEnv, 4, obs_dim=4, act_dim=3, episode_len=5)
+    xmodel = _xla_model(cfg, model)
+    ref_dec = build_decoder_for_env(xmodel, params, tenvs[0])
+    primes = _episode_primes(tenvs, 2, 3, 4)
+    ref = _chain(ref_dec, primes, defer=False)
+
+    smodel = _xla_model(cfg, model, decode_speculative=True)
+    sdec = build_decoder_for_env(smodel, params, tenvs[0], mesh=_mesh(2, 4))
+    assert sdec.speculates
+    got = _chain(sdec, primes, defer=True)
+    for k, (a, b) in enumerate(zip(ref, got)):
+        np.testing.assert_array_equal(a, b, err_msg=f"step {k}")
+
+
+def test_decoder_pool_shards_once():
+    """DecoderPool(mesh=...) shards params once and hands every geometry's
+    decoder the placed tree."""
+    cfg, model, params, tenvs = _setup(
+        FakeContinuousEnv, 2, obs_dim=4, act_dim=2, episode_len=4)
+    xmodel = _xla_model(cfg, model)
+    mesh = _mesh(2, 4)
+    pool = DecoderPool(xmodel, params, mesh=mesh)
+    dec = pool.get(tenvs[0])
+    assert dec.mesh is mesh
+    leaves = jax.tree.leaves(pool.params)
+    assert all(hasattr(leaf, "sharding") for leaf in leaves)
+    a, _ = dec.decode(np.stack([np.r_[:6], np.r_[:6]]).astype(np.int64),
+                      dec.init_mems(2))
+    assert a.shape == (2, 2)
+
+
+def test_sharded_decode_requires_flash_off():
+    import pytest
+
+    cfg, model, params, tenvs = _setup(
+        FakeContinuousEnv, 2, obs_dim=4, act_dim=2, episode_len=4)
+    with pytest.raises(AssertionError, match="decode_flash"):
+        build_decoder_for_env(model, params, tenvs[0], mesh=_mesh(2, 4))
