@@ -411,12 +411,13 @@ class ActionDecoder:
             tail = False                 # window-slide prime (q > mem_len)
         elif sizes[-1] + S > M:
             # the guess tail must fit the ring call's q <= mem_len bound
-            if frame_splits is None and M - S >= 1:
+            if images is None and M - S >= 1:
                 t = sizes[-1]
                 sizes[-1:] = [t - (M - S), M - S]
             else:
-                # transition-aligned image slices can't re-split: commit
-                # the prime plain and let the verify loop do round 1
+                # image slices can't re-split (transition alignment / the
+                # single-slice whole-frame window): commit the prime plain
+                # and let the verify loop do round 1
                 tail = False
         if sizes is not None:
             rk_chunks = tuple(

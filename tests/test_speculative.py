@@ -133,6 +133,44 @@ def test_speculative_cohort_matches_nonspec():
         [(g.episode_return, g.episode_length) for g in got]
 
 
+def test_speculative_image_geometry_matches():
+    """Continuous-action IMAGE env (carracing-like): the guesses ride a
+    prime slice that also carries frames (episode-start prompt images +
+    per-step obs frame); trajectories match the non-speculative decoder."""
+    import jax
+    import jax.numpy as jnp
+
+    from bdm_db1_tpu.data.input_specs import RLTaskBatch
+    from bdm_db1_tpu.eval.envs import FakeContinuousImageEnv
+
+    def setup():
+        cfg, model, params, tenvs = _setup(
+            FakeContinuousImageEnv, 2, hw=32, act_dim=3, episode_len=4)
+        # _setup's init batch has no images -> re-init with an image slot
+        # so the decode finds the vision tower
+        L = cfg.model.n_position
+        tok = jnp.zeros((1, L), jnp.int32)
+        params = model.init(
+            jax.random.PRNGKey(0),
+            {"rl": RLTaskBatch(
+                tokens=tok.at[0, 0].set(-1), position_id=tok,
+                loss_mask=tok, label=tok,
+                images=jnp.zeros((1, 1, 32, 32, 3), jnp.float32))},
+        )["params"]
+        return cfg, model, params, tenvs
+
+    cfg, model, params, tenvs = setup()
+    dec = build_decoder_for_env(model, params, tenvs[0])
+    ref = run_batched_episodes(tenvs, dec, rng=np.random.RandomState(0))
+
+    cfg2, model2, params2, tenvs2 = setup()
+    sdec = _spec_decoder(cfg2, model2, params2, tenvs2[0])
+    assert sdec.speculates
+    got = run_batched_episodes(tenvs2, sdec, rng=np.random.RandomState(0))
+    assert [(r.episode_return, r.episode_length) for r in ref] == \
+        [(g.episode_return, g.episode_length) for g in got]
+
+
 def test_speculative_disabled_for_discrete():
     """Single-token (discrete) actions have nothing to speculate — the
     decoder falls back to classic defer_last."""
