@@ -118,15 +118,19 @@ class ActionDecoder:
         # propagates the shardings through the jitted decode, inserting
         # the TP collectives. The reference serves one env per GPU process
         # (evaluate_rl.py:452-466, DP only); this adds TP serving — lower
-        # per-action latency and O(devices) cohort capacity. Requires
-        # decode_flash="off": a pallas_call is an opaque unit to the
-        # partitioner, so the fused single-chip kernels would force their
-        # operands replicated (a shard_map wrap is the fast-path follow-up).
+        # per-action latency and O(devices) cohort capacity. The q == 1
+        # flash ring kernel (6-7 of the forwards per env step) runs under a
+        # shard_map over ("data", "model") — a pallas_call is opaque to the
+        # pjit partitioner, so the shard_map is what keeps the fused path on
+        # the mesh (flash_ring_decode(mesh=...); per-shard heads must keep
+        # the kernel's lowering constraints, else _use_flash_decode gates it
+        # back to the XLA ring branch). Multi-token primes always take the
+        # XLA ring branch under a mesh (the all-pairs prime kernels' q-major
+        # column order can't partition heads contiguously).
         self.mesh = mesh
-        if mesh is not None:
-            assert model.cfg.decode_flash == "off", (
-                "sharded decode needs decode_flash='off' — the Pallas ring "
-                "kernels do not partition under pjit")
+        if mesh is not None and model.cfg.decode_flash != "off":
+            model = model.clone(decode_mesh=mesh)
+            self.model = model
         self.obs_length = int(obs_length)
         self.action_length = int(action_length)
         self.discrete_action = discrete_action

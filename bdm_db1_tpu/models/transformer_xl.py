@@ -264,6 +264,10 @@ class RelMultiHeadAttn(nn.Module):
     """
 
     cfg: ModelConfig
+    # sharded decode (eval/decode.py ActionDecoder(mesh=...)): the q == 1
+    # flash kernel runs under a shard_map over ("data", "model") — see
+    # flash_ring_decode(mesh=...). None = single-chip pjit semantics.
+    decode_mesh: Any = None
 
     @nn.compact
     def __call__(
@@ -351,7 +355,8 @@ class RelMultiHeadAttn(nn.Module):
                 bias = jnp.where(mask_s[None, None], NEG_INF, bd_s * scale)
                 o_un, m_s, l_s = flash_ring_decode(
                     k2, v2, qw0.astype(dtype), bias, lidx, k_sc, v_sc,
-                    n_head=h, d_head=dh, scale=scale, interpret=interpret)
+                    n_head=h, d_head=dh, scale=scale, interpret=interpret,
+                    mesh=self.decode_mesh)
                 # distance-0 self column (never masked at q == 1)
                 s_x = ((qw0 * k_x[:, 0].astype(jnp.float32)).sum(-1)
                        + bd[..., M]) * scale
@@ -596,6 +601,7 @@ class DecoderLayer(nn.Module):
     """Attention + FFN (reference: src/model/transformer_xl.py:295-353)."""
 
     cfg: ModelConfig
+    decode_mesh: Any = None
 
     @nn.compact
     def __call__(self, h, mem, r, mask, r_w_bias, r_r_bias, deterministic,
@@ -606,7 +612,7 @@ class DecoderLayer(nn.Module):
             # over the model axis; XLA all-gathers around attention/FFN
             h = nn.with_logical_constraint(
                 h, ("batch", "length_sharded", "embed"))
-        h, aux = RelMultiHeadAttn(self.cfg, name="attn")(
+        h, aux = RelMultiHeadAttn(self.cfg, self.decode_mesh, name="attn")(
             h, r, mem, mask, r_w_bias, r_r_bias, deterministic,
             flash_kv=flash_kv,
         )
@@ -623,6 +629,11 @@ class TransformerXL(nn.Module):
     cfg: ModelConfig
     vocab: VocabConfig
     vision: VisionConfig
+    # sharded decode: set via model.clone(decode_mesh=mesh) (eval/decode.py
+    # ActionDecoder) so the q == 1 flash ring kernel shard_maps over the
+    # mesh instead of forcing its operands replicated under pjit. Runtime
+    # plumbing only — never serialized, no effect on params.
+    decode_mesh: Any = None
 
     @property
     def layout(self) -> VocabLayout:
@@ -676,7 +687,7 @@ class TransformerXL(nn.Module):
             length=cfg.n_layer,
             metadata_params={nn.meta.PARTITION_NAME: "layers"},
         )
-        self.layers = ScanLayers(cfg, name="layers")
+        self.layers = ScanLayers(cfg, self.decode_mesh, name="layers")
         if not cfg.share_input_output_embedding:
             self.lm_head = nn.Dense(
                 self.vocab.layout().padded_vocab_size, use_bias=False,
@@ -1002,12 +1013,22 @@ class TransformerXL(nn.Module):
 
         if not (1 <= qlen <= MAX_PRIME_Q) or cfg.decode_flash == "off":
             return False
+        from bdm_db1_tpu.ops.flash_ring_decode import flash_ring_applicable
+
+        n_head = cfg.n_head
+        if self.decode_mesh is not None:
+            # sharded decode: only the q == 1 kernel shard_maps (the
+            # all-pairs prime kernels' q-major (q, h) column order can't
+            # partition heads contiguously — primes keep the XLA ring
+            # branch, which pjit shards fine); applicability is per-shard
+            tp = self.decode_mesh.shape.get("model", 1)
+            if qlen != 1 or n_head % tp:
+                return False
+            n_head //= tp
         if cfg.decode_flash == "on":
             # interpret mode has no tiling constraints; any block-even M works
             return cfg.mem_len % min(512, cfg.mem_len) == 0
-        from bdm_db1_tpu.ops.flash_ring_decode import flash_ring_applicable
-
-        return (flash_ring_applicable(cfg.mem_len, cfg.n_head, cfg.d_head)
+        return (flash_ring_applicable(cfg.mem_len, n_head, cfg.d_head)
                 and jax.devices()[0].platform == "tpu")  # "auto"
 
     def align_ring_cache(self, cache: Dict[str, Array]) -> Dict[str, Array]:

@@ -147,9 +147,6 @@ def _kernel_impl_q(lidx_ref, k_ref, v_ref, ks_ref, vs_ref, qwt_ref,
                  o_ref, om_ref, ol_ref, n_head=n_head, d_head=d_head)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("n_head", "d_head", "scale", "block_m", "interpret"))
 def flash_ring_decode(
     k_cache: jax.Array,     # [L, B, M, H, Dh] (stacked ring cache)
     v_cache: jax.Array,     # [L, B, M, H, Dh]
@@ -162,6 +159,7 @@ def flash_ring_decode(
     *,
     n_head: int, d_head: int, scale: float,
     block_m: int = DEFAULT_BLOCK_M, interpret: bool = False,
+    mesh=None, data_axis: str = "data", model_axis: str = "model",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Cache-column attention for one decode token over one layer's ring.
 
@@ -169,10 +167,76 @@ def flash_ring_decode(
     happens in-kernel (scales on the scores / PV operand, never on the
     cache read itself) — HBM streams the cache at 1 byte/element.
 
+    With ``mesh`` (sharded decode, eval/decode.py ActionDecoder(mesh=...))
+    the kernel runs under a partial-manual ``jax.shard_map`` over
+    (``data_axis``, ``model_axis``): batch rows split over data, heads
+    over model — per-shard the computation is fully head/row independent
+    (the all-pairs dot scores only same-shard head pairs), so the manual
+    region needs NO collectives and each chip streams only its H/tp head
+    slice of the cache. A pallas_call is an opaque unit to the pjit
+    partitioner (it would force its operands replicated); the shard_map
+    is what lets the fused kernel serve on a TP×DP mesh at all. Callers
+    gate on per-shard applicability (n_head/tp must keep the kernel's
+    sublane-even head replication, see ``flash_ring_applicable``).
+
     Returns ``(o_unnorm [B, H, Dh] f32, m [B, H, 1] f32, l [B, H, 1] f32)``
     — the UNNORMALIZED online-softmax accumulator and its row stats; fold
     in the self column with :func:`combine_self_column`.
     """
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        tp = mesh.shape.get(model_axis, 1)
+        dp = mesh.shape.get(data_axis, 1)
+        L, B, M, H, Dh = k_cache.shape
+        assert H % tp == 0, (H, tp)
+        # batch that doesn't divide the data axis stays replicated — same
+        # fallback rule as ActionDecoder._dev / ring_cache_shardings
+        bax = data_axis if (dp > 1 and B % dp == 0) else None
+        kv_s = P(None, bax, None, model_axis, None)
+        sc_s = P(None, bax, None, model_axis)
+        row_s = P(bax, model_axis, None)   # qw/bias in, o/m/l out
+        lidx = jnp.reshape(lidx.astype(jnp.int32), (1,))
+        inner = functools.partial(
+            _flash_ring_decode_local, n_head=H // tp, d_head=d_head,
+            scale=scale, block_m=block_m, interpret=interpret)
+        manual = {data_axis, model_axis} & set(mesh.axis_names)
+        if k_scale is not None:
+            return jax.shard_map(
+                lambda k, v, q, b, l, ks, vs: inner(k, v, q, b, l, ks, vs),
+                mesh=mesh, axis_names=manual, check_vma=False,
+                in_specs=(kv_s, kv_s, row_s, row_s, P(), sc_s, sc_s),
+                out_specs=(row_s, row_s, row_s),
+            )(k_cache, v_cache, qw, bias, lidx, k_scale, v_scale)
+        return jax.shard_map(
+            lambda k, v, q, b, l: inner(k, v, q, b, l),
+            mesh=mesh, axis_names=manual, check_vma=False,
+            in_specs=(kv_s, kv_s, row_s, row_s, P()),
+            out_specs=(row_s, row_s, row_s),
+        )(k_cache, v_cache, qw, bias, lidx)
+    return _flash_ring_decode_local(
+        k_cache, v_cache, qw, bias, lidx, k_scale, v_scale,
+        n_head=n_head, d_head=d_head, scale=scale, block_m=block_m,
+        interpret=interpret)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_head", "d_head", "scale", "block_m", "interpret"))
+def _flash_ring_decode_local(
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    qw: jax.Array,
+    bias: jax.Array,
+    lidx: jax.Array,
+    k_scale: jax.Array = None,
+    v_scale: jax.Array = None,
+    *,
+    n_head: int, d_head: int, scale: float,
+    block_m: int = DEFAULT_BLOCK_M, interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Single-shard body of :func:`flash_ring_decode` (the pallas_call and
+    its XLA block-merge epilogue)."""
     L, B, M, H, Dh = k_cache.shape
     assert (H, Dh) == (n_head, d_head), (k_cache.shape, n_head, d_head)
     quantized = k_scale is not None

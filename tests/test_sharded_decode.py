@@ -94,10 +94,56 @@ def test_decoder_pool_shards_once():
     assert a.shape == (2, 2)
 
 
-def test_sharded_decode_requires_flash_off():
-    import pytest
-
+def test_sharded_flash_decode_matches_single_device():
+    """decode_flash="on" + mesh: the q == 1 forwards run the fused ring
+    kernel under a shard_map over ("data", "model") (per-shard heads — the
+    pjit partitioner can't split a pallas_call itself), primes take the XLA
+    ring branch, and the greedy chain equals the single-device flash chain
+    AND the single-device XLA chain (flash_ring_decode(mesh=...))."""
     cfg, model, params, tenvs = _setup(
-        FakeContinuousEnv, 2, obs_dim=4, act_dim=2, episode_len=4)
-    with pytest.raises(AssertionError, match="decode_flash"):
-        build_decoder_for_env(model, params, tenvs[0], mesh=_mesh(2, 4))
+        FakeContinuousEnv, 4, obs_dim=4, act_dim=2, episode_len=5)
+    # tp=4 divides n_head=4 -> per-shard H=1 (interpret mode lifts the
+    # real-chip sublane constraints, same as the single-chip flash tests)
+    fmodel = TransformerXL(
+        dataclasses.replace(model.cfg, decode_flash="on"),
+        cfg.vocab, cfg.vision)
+    assert fmodel._use_flash_decode(1)
+    primes = _episode_primes(tenvs, 0, 3, 4)
+    ref_flash = _chain(build_decoder_for_env(fmodel, params, tenvs[0]),
+                       primes, defer=False)
+    ref_xla = _chain(
+        build_decoder_for_env(_xla_model(cfg, model), params, tenvs[0]),
+        primes, defer=False)
+
+    mesh = _mesh(2, 4)
+    sdec = build_decoder_for_env(fmodel, params, tenvs[0], mesh=mesh)
+    # the cloned model carries the mesh and still gates q == 1 on
+    assert sdec.model.decode_mesh is mesh
+    assert sdec.model._use_flash_decode(1)
+    assert not sdec.model._use_flash_decode(2)  # primes stay on XLA ring
+    mems = sdec.init_mems(4)
+    assert "model" in str(mems["k"].sharding.spec), mems["k"].sharding
+    acts = []
+    for p in primes:
+        a, mems = sdec.decode(p, mems)
+        acts.append(np.asarray(a))
+    for k, (a, b, c) in enumerate(zip(ref_flash, acts, ref_xla)):
+        np.testing.assert_array_equal(a, b, err_msg=f"step {k} (vs flash)")
+        np.testing.assert_array_equal(b, c, err_msg=f"step {k} (vs xla)")
+
+
+def test_sharded_flash_gates_on_head_divisibility():
+    """A tp that doesn't divide n_head falls back to the XLA ring branch
+    (never a shape error inside the shard_map)."""
+    from bdm_db1_tpu.core.config import db1_tiny
+
+    cfg = db1_tiny(decode_flash="on")
+    mesh = _mesh(1, 8)  # tp=8 does not divide n_head=4
+    fmodel = TransformerXL(cfg.model, cfg.vocab, cfg.vision,
+                           decode_mesh=mesh)
+    assert not fmodel._use_flash_decode(1)
+    # and the prime path is always XLA under a mesh, even when tp divides
+    fmodel2 = TransformerXL(cfg.model, cfg.vocab, cfg.vision,
+                            decode_mesh=_mesh(2, 4))
+    assert fmodel2._use_flash_decode(1)
+    assert not fmodel2._use_flash_decode(4)
