@@ -118,15 +118,15 @@ class ActionDecoder:
         # propagates the shardings through the jitted decode, inserting
         # the TP collectives. The reference serves one env per GPU process
         # (evaluate_rl.py:452-466, DP only); this adds TP serving — lower
-        # per-action latency and O(devices) cohort capacity. The q == 1
-        # flash ring kernel (6-7 of the forwards per env step) runs under a
+        # per-action latency and O(devices) cohort capacity. The fused
+        # ring kernels (q == 1 steps AND all-pairs primes) run under a
         # shard_map over ("data", "model") — a pallas_call is opaque to the
-        # pjit partitioner, so the shard_map is what keeps the fused path on
-        # the mesh (flash_ring_decode(mesh=...); per-shard heads must keep
-        # the kernel's lowering constraints, else _use_flash_decode gates it
-        # back to the XLA ring branch). Multi-token primes always take the
-        # XLA ring branch under a mesh (the all-pairs prime kernels' q-major
-        # column order can't partition heads contiguously).
+        # pjit partitioner, so the shard_map is what keeps the fused path
+        # on the mesh (flash_ring_decode/flash_ring_prime_ap mesh=...; the
+        # (q, h) column flattening happens inside the per-shard body, so
+        # heads partition contiguously). Per-shard heads must keep the
+        # kernels' lowering constraints, else _use_flash_decode gates back
+        # to the XLA ring branch.
         self.mesh = mesh
         if mesh is not None and model.cfg.decode_flash != "off":
             model = model.clone(decode_mesh=mesh)

@@ -376,7 +376,7 @@ class RelMultiHeadAttn(nn.Module):
                 o_un, m_s, l_s = flash_ring_prime_ap(
                     k2, v2, qw.transpose(0, 2, 1, 3).astype(dtype), bias,
                     lidx, k_sc, v_sc, n_head=h, d_head=dh, scale=scale,
-                    interpret=interpret)
+                    interpret=interpret, mesh=self.decode_mesh)
                 # new tokens' q x q block (causal among themselves)
                 ac_x = jnp.einsum("bihd,bjhd->bhij", qw,
                                   k_x.astype(jnp.float32))
@@ -1017,12 +1017,14 @@ class TransformerXL(nn.Module):
 
         n_head = cfg.n_head
         if self.decode_mesh is not None:
-            # sharded decode: only the q == 1 kernel shard_maps (the
-            # all-pairs prime kernels' q-major (q, h) column order can't
-            # partition heads contiguously — primes keep the XLA ring
-            # branch, which pjit shards fine); applicability is per-shard
+            # sharded decode: both the q == 1 kernel and the all-pairs
+            # prime kernel run under a shard_map over ("data", "model") —
+            # the (q, h) column flattening happens INSIDE the per-shard
+            # body, so heads partition contiguously on the head-major
+            # operands (flash_ring_decode/flash_ring_prime_ap mesh=...).
+            # Applicability (sublane-even head replication) is per-shard.
             tp = self.decode_mesh.shape.get("model", 1)
-            if qlen != 1 or n_head % tp:
+            if n_head % tp:
                 return False
             n_head //= tp
         if cfg.decode_flash == "on":

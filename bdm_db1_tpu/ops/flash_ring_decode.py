@@ -421,9 +421,6 @@ def _prime_ap_kernel_q(lidx_ref, k_ref, v_ref, ks_ref, vs_ref, qwt_ref,
                    o_ref, om_ref, ol_ref, n_head=n_head, n_q=n_q)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("n_head", "d_head", "scale", "block_m", "interpret"))
 def flash_ring_prime_ap(
     k_cache: jax.Array,     # [L, B, M, H, Dh] (stacked ring cache)
     v_cache: jax.Array,     # [L, B, M, H, Dh]
@@ -437,15 +434,77 @@ def flash_ring_prime_ap(
     *,
     n_head: int, d_head: int, scale: float,
     block_m: int = DEFAULT_BLOCK_M, interpret: bool = False,
+    mesh=None, data_axis: str = "data", model_axis: str = "model",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """All-pairs variant of :func:`flash_ring_prime`; handles exact-dtype
     AND int8(+scales) caches — the scales stay in the q == 1 kernel's
     [L, B, M, H] layout (``pltpu.repeat`` does the in-kernel [rows, Q*H]
     replication the per-head kernel needed a caller-side transpose for).
 
+    With ``mesh`` (sharded decode) the whole function body — including
+    the (q, h) column flattening, which is why pjit alone can't partition
+    it over heads — runs under a partial-manual ``jax.shard_map``, exactly
+    like :func:`flash_ring_decode`: every operand and output is head-major
+    ([.., H, ..] axis split over ``model_axis``), batch rows over
+    ``data_axis``, and per-shard the all-pairs dot only ever scores
+    same-shard head pairs, so the manual region needs no collectives.
+
     Same contract as :func:`flash_ring_prime`: returns
     ``(o_unnorm [B, H, Q, Dh] f32, m [B, H, Q], l [B, H, Q])``.
     """
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        tp = mesh.shape.get(model_axis, 1)
+        dp = mesh.shape.get(data_axis, 1)
+        L, B, M, H, Dh = k_cache.shape
+        assert H % tp == 0, (H, tp)
+        bax = data_axis if (dp > 1 and B % dp == 0) else None
+        kv_s = P(None, bax, None, model_axis, None)
+        sc_s = P(None, bax, None, model_axis)
+        q_s = P(bax, model_axis, None, None)    # qw/bias in, o out
+        st_s = P(bax, model_axis, None)         # m/l out
+        lidx = jnp.reshape(lidx.astype(jnp.int32), (1,))
+        inner = functools.partial(
+            _flash_ring_prime_ap_local, n_head=H // tp, d_head=d_head,
+            scale=scale, block_m=block_m, interpret=interpret)
+        manual = {data_axis, model_axis} & set(mesh.axis_names)
+        if k_scale is not None:
+            return jax.shard_map(
+                lambda k, v, q, b, l, ks, vs: inner(k, v, q, b, l, ks, vs),
+                mesh=mesh, axis_names=manual, check_vma=False,
+                in_specs=(kv_s, kv_s, q_s, q_s, P(), sc_s, sc_s),
+                out_specs=(q_s, st_s, st_s),
+            )(k_cache, v_cache, qw, bias, lidx, k_scale, v_scale)
+        return jax.shard_map(
+            lambda k, v, q, b, l: inner(k, v, q, b, l),
+            mesh=mesh, axis_names=manual, check_vma=False,
+            in_specs=(kv_s, kv_s, q_s, q_s, P()),
+            out_specs=(q_s, st_s, st_s),
+        )(k_cache, v_cache, qw, bias, lidx)
+    return _flash_ring_prime_ap_local(
+        k_cache, v_cache, qw, bias, lidx, k_scale, v_scale,
+        n_head=n_head, d_head=d_head, scale=scale, block_m=block_m,
+        interpret=interpret)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_head", "d_head", "scale", "block_m", "interpret"))
+def _flash_ring_prime_ap_local(
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    qw: jax.Array,
+    bias: jax.Array,
+    lidx: jax.Array,
+    k_scale: jax.Array = None,
+    v_scale: jax.Array = None,
+    *,
+    n_head: int, d_head: int, scale: float,
+    block_m: int = DEFAULT_BLOCK_M, interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Single-shard body of :func:`flash_ring_prime_ap` (the (q, h) column
+    flattening, the pallas_call, and its XLA block-merge epilogue)."""
     L, B, M, H, Dh = k_cache.shape
     Q = qw.shape[2]
     QH = Q * H

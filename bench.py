@@ -129,6 +129,15 @@ def main() -> None:
                          " previous step, verify on device; exact greedy,"
                          " 1 forward/env-step at full acceptance vs 6"
                          " (ModelConfig.decode_speculative)")
+    ap.add_argument("--spec-ceiling", action="store_true",
+                    help="with --speculate: zero the params so the greedy "
+                         "policy is constant and every guess is accepted "
+                         "(same FLOPs/bytes — dense matmuls don't skip "
+                         "zeros; the verify while_loop just exits after "
+                         "one round). Measures the full-acceptance "
+                         "ceiling a trained smooth policy approaches; "
+                         "the random-weight --speculate run is the "
+                         "all-rejected floor")
     ap.add_argument("--prng-impl", default="rbg",
                     choices=["rbg", "unsafe_rbg", "threefry"],
                     help="train mode: PRNG behind the dropout masks; rbg = "
@@ -223,6 +232,8 @@ def _eval_setup(args, n_envs: int, episode_len: int, geometry: str):
         cfg.model.param_dtype = "bfloat16"
     cfg.model.decode_cache_dtype = args.cache_dtype
     cfg.model.decode_weight_dtype = getattr(args, "weight_dtype", "")
+    if getattr(args, "spec_ceiling", False):
+        args.speculate = True
     cfg.model.decode_speculative = getattr(args, "speculate", False)
 
     if geometry == "mujoco":
@@ -261,6 +272,12 @@ def _eval_setup(args, n_envs: int, episode_len: int, geometry: str):
                                     loss_mask=jnp.abs(tok),
                                     label=jnp.abs(tok), **init_kw)}
     params = model.init(jax.random.PRNGKey(0), init_batch)["params"]
+    if getattr(args, "spec_ceiling", False):
+        # all-zero params -> all-zero logits -> constant greedy policy:
+        # every speculative guess is accepted (the bench's random weights
+        # are the opposite extreme — every guess rejected). Compute is
+        # identical; only the data-dependent verify loop bound changes.
+        params = jax.tree.map(jnp.zeros_like, params)
     return cfg, model, params, ds, tenvs, env_fn
 
 
@@ -329,7 +346,8 @@ def bench_eval(args, geometry=None, tag: str = "") -> None:
     actions_per_sec = B / mean_dt
     suffix = ("" if geometry == "mujoco" else f"_{geometry}") + tag
     if getattr(args, "speculate", False):
-        suffix += "_spec"
+        suffix += ("_spec_ceiling" if getattr(args, "spec_ceiling", False)
+                   else "_spec")
     rec = {
         "metric": (f"rl_eval_actions_per_sec_1p2b{suffix}"
                    if not args.smoke
@@ -390,7 +408,8 @@ def bench_production(args) -> None:
     actions_per_sec = total_actions / dt
     suffix = "" if args.geometry == "mujoco" else f"_{args.geometry}"
     if getattr(args, "speculate", False):
-        suffix += "_spec"
+        suffix += ("_spec_ceiling" if getattr(args, "spec_ceiling", False)
+                   else "_spec")
     print(json.dumps({
         "metric": (f"rl_eval_actions_per_sec_production_1p2b{suffix}"
                    if not args.smoke

@@ -95,11 +95,13 @@ def test_decoder_pool_shards_once():
 
 
 def test_sharded_flash_decode_matches_single_device():
-    """decode_flash="on" + mesh: the q == 1 forwards run the fused ring
-    kernel under a shard_map over ("data", "model") (per-shard heads — the
-    pjit partitioner can't split a pallas_call itself), primes take the XLA
-    ring branch, and the greedy chain equals the single-device flash chain
-    AND the single-device XLA chain (flash_ring_decode(mesh=...))."""
+    """decode_flash="on" + mesh: BOTH fused ring kernels — the q == 1
+    per-action forwards and the all-pairs multi-token prime — run under a
+    shard_map over ("data", "model") (per-shard heads; the pjit
+    partitioner can't split a pallas_call itself, and the prime's (q, h)
+    column flattening happens inside the per-shard body), and the greedy
+    chain equals the single-device flash chain AND the single-device XLA
+    chain (flash_ring_decode/flash_ring_prime_ap mesh=...)."""
     cfg, model, params, tenvs = _setup(
         FakeContinuousEnv, 4, obs_dim=4, act_dim=2, episode_len=5)
     # tp=4 divides n_head=4 -> per-shard H=1 (interpret mode lifts the
@@ -117,10 +119,10 @@ def test_sharded_flash_decode_matches_single_device():
 
     mesh = _mesh(2, 4)
     sdec = build_decoder_for_env(fmodel, params, tenvs[0], mesh=mesh)
-    # the cloned model carries the mesh and still gates q == 1 on
+    # the cloned model carries the mesh; q == 1 AND primes stay fused
     assert sdec.model.decode_mesh is mesh
     assert sdec.model._use_flash_decode(1)
-    assert not sdec.model._use_flash_decode(2)  # primes stay on XLA ring
+    assert sdec.model._use_flash_decode(2)
     mems = sdec.init_mems(4)
     assert "model" in str(mems["k"].sharding.spec), mems["k"].sharding
     acts = []
@@ -142,8 +144,9 @@ def test_sharded_flash_gates_on_head_divisibility():
     fmodel = TransformerXL(cfg.model, cfg.vocab, cfg.vision,
                            decode_mesh=mesh)
     assert not fmodel._use_flash_decode(1)
-    # and the prime path is always XLA under a mesh, even when tp divides
+    assert not fmodel._use_flash_decode(4)
+    # when tp divides, q == 1 and primes both shard_map onto the mesh
     fmodel2 = TransformerXL(cfg.model, cfg.vocab, cfg.vision,
                             decode_mesh=_mesh(2, 4))
     assert fmodel2._use_flash_decode(1)
-    assert not fmodel2._use_flash_decode(4)
+    assert fmodel2._use_flash_decode(4)
