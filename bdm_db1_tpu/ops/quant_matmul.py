@@ -91,6 +91,21 @@ def quant_matmul(
     assert K == K2, (x.shape, w_q.shape)
     bk = min(block_k, K)
     bn = min(block_n, N)
+
+    # adaptive blocks: the double-buffered x/w/out blocks plus the f32
+    # accumulator must fit Mosaic's ~16 MB scoped VMEM with headroom. At
+    # decode-prime row counts (B = batch x q, e.g. 1040 at 1.2B b40 q26)
+    # the default 512x1024 blocks overflow by ~192 KB — a real-chip
+    # compile failure ("kernel-vmem-stack-oom"), not a runtime OOM.
+    def _vmem(bk, bn):
+        return (3 * B * bn * 4                    # out block x2 + acc
+                + 2 * B * bk * x.dtype.itemsize   # x block x2
+                + 2 * bk * bn                     # int8 w block x2
+                + 2 * 4 * bn)                     # scale block x2
+    while bn > 128 and _vmem(bk, bn) > 12 * 2**20:
+        bn //= 2
+    while bk > 128 and _vmem(bk, bn) > 12 * 2**20:
+        bk //= 2
     assert K % bk == 0 and N % bn == 0, (K, N, bk, bn)
     n_k = K // bk
     grid = (N // bn, n_k)

@@ -134,6 +134,33 @@ def test_sharded_flash_decode_matches_single_device():
         np.testing.assert_array_equal(b, c, err_msg=f"step {k} (vs xla)")
 
 
+def test_sharded_flash_int8_matches_single_device():
+    """The int8-cache (scales) branch of both mesh dispatchers: the dequant
+    scales shard over heads alongside the cache ([L, B, M, H] -> model on
+    the last axis), and the sharded chain equals the single-device int8
+    flash chain exactly (same per-head math, same block merges)."""
+    cfg, model, params, tenvs = _setup(
+        FakeContinuousEnv, 4, obs_dim=4, act_dim=2, episode_len=5)
+    fmodel = TransformerXL(
+        dataclasses.replace(model.cfg, decode_flash="on",
+                            decode_cache_dtype="int8"),
+        cfg.vocab, cfg.vision)
+    primes = _episode_primes(tenvs, 0, 3, 4)
+    ref = _chain(build_decoder_for_env(fmodel, params, tenvs[0]),
+                 primes, defer=False)
+
+    sdec = build_decoder_for_env(fmodel, params, tenvs[0], mesh=_mesh(2, 4))
+    assert sdec.model._use_flash_decode(1)
+    assert sdec.model._use_flash_decode(2)
+    mems = sdec.init_mems(4)
+    acts = []
+    for p in primes:
+        a, mems = sdec.decode(p, mems)
+        acts.append(np.asarray(a))
+    for k, (a, b) in enumerate(zip(ref, acts)):
+        np.testing.assert_array_equal(a, b, err_msg=f"step {k}")
+
+
 def test_sharded_flash_gates_on_head_divisibility():
     """A tp that doesn't divide n_head falls back to the XLA ring branch
     (never a shape error inside the shard_map)."""
