@@ -11,13 +11,15 @@ in-kernel dequant, PERFORMANCE.md), so this kernel converts int8 -> bf16
 in VMEM, right after the DMA: HBM traffic stays 1 byte/element and the
 MXU consumes bf16 operands.
 
-Design: grid (nN, nK) with K innermost; the [bm_k, bn] weight block is
-DMA'd, converted, and matmul'd against the VMEM-resident activation slice
-x[:, k-block] ([B, bm_k] — a few hundred KB at decode batch sizes); f32
-partial products accumulate in the revisited output block (same index for
-every k), and the per-output-channel scale folds in once on the LAST k
-step — scales are per-column, so scaling the f32 accumulator once is
-exact and cheaper than scaling every partial.
+Design: grid (nM, nN, nK) with K innermost; the [bk, bn] weight block is
+DMA'd, converted, and matmul'd against the activation block x[m-block,
+k-block]; f32 partial products accumulate in a VMEM scratch (revisited
+for every k of one (m, n) tile), and the per-output-channel scale folds
+in once on the LAST k step — scales are per-column, so scaling the f32
+accumulator once is exact and cheaper than scaling every partial. Rows
+tile too (bm): decode primes present B·q rows (10,240 at 1.2B b40 q256),
+and a full-height output/acc block is a guaranteed Mosaic
+kernel-vmem-stack OOM at that shape.
 
 Per-channel (columnwise absmax / 127) symmetric quantization matches the
 KV-cache scheme (models/transformer_xl.py quantize_kv_rows); biases stay
@@ -50,7 +52,7 @@ def quantize_weight(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 def _qmm_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int,
                 cdtype):
-    k = pl.program_id(1)
+    k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _init():
@@ -71,12 +73,13 @@ def _qmm_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_k", "block_n", "interpret"))
+    static_argnames=("block_m", "block_k", "block_n", "interpret"))
 def quant_matmul(
     x: jax.Array,          # [B, K] compute dtype (bf16/f32)
     w_q: jax.Array,        # [K, N] int8
     scale: jax.Array,      # [N] f32 — per-output-channel dequant scale
     *,
+    block_m: int = 1024,
     block_k: int = 512,
     block_n: int = 1024,
     interpret: bool = False,
@@ -91,38 +94,56 @@ def quant_matmul(
     assert K == K2, (x.shape, w_q.shape)
     bk = min(block_k, K)
     bn = min(block_n, N)
+    # Row tile: rows that don't divide the tile are padded (dead compute
+    # on an HBM-bound op — the weight stream dominates — and slicing the
+    # pad off is free). Pick the tile that wastes the least padding.
+    if B <= block_m:
+        bm = B = _round_up(B, 8 if x.dtype == jnp.float32 else 16)
+    else:
+        bm = max((c for c in (1024, 512, 256, 128, block_m)
+                  if c <= block_m),
+                 key=lambda c: (-_round_up(B, c), c))
+        B = _round_up(B, bm)
 
     # adaptive blocks: the double-buffered x/w/out blocks plus the f32
     # accumulator must fit Mosaic's ~16 MB scoped VMEM with headroom. At
-    # decode-prime row counts (B = batch x q, e.g. 1040 at 1.2B b40 q26)
-    # the default 512x1024 blocks overflow by ~192 KB — a real-chip
-    # compile failure ("kernel-vmem-stack-oom"), not a runtime OOM.
-    def _vmem(bk, bn):
-        return (3 * B * bn * 4                    # out block x2 + acc
-                + 2 * B * bk * x.dtype.itemsize   # x block x2
-                + 2 * bk * bn                     # int8 w block x2
-                + 2 * 4 * bn)                     # scale block x2
-    while bn > 128 and _vmem(bk, bn) > 12 * 2**20:
+    # decode-prime row counts (B = batch x q_chunk, e.g. 10,240 at 1.2B
+    # b40 q256) full-height blocks overflow by MBs — a real-chip compile
+    # failure ("kernel-vmem-stack-oom"), not a runtime OOM — hence the
+    # bm grid dimension; the shrink loops handle what remains.
+    def _vmem(bm, bk, bn):
+        return (3 * bm * bn * 4                    # out block x2 + acc
+                + 2 * bm * bk * x.dtype.itemsize   # x block x2
+                + 2 * bk * bn                      # int8 w block x2
+                + 2 * 4 * bn)                      # scale block x2
+    while bm > 128 and B % (bm // 2) == 0 and _vmem(bm, bk, bn) > 12 * 2**20:
+        bm //= 2
+    while bn > 128 and _vmem(bm, bk, bn) > 12 * 2**20:
         bn //= 2
-    while bk > 128 and _vmem(bk, bn) > 12 * 2**20:
+    while bk > 128 and _vmem(bm, bk, bn) > 12 * 2**20:
         bk //= 2
-    assert K % bk == 0 and N % bn == 0, (K, N, bk, bn)
+    assert B % bm == 0 and K % bk == 0 and N % bn == 0, (B, K, bm, bk, bn)
     n_k = K // bk
-    grid = (N // bn, n_k)
+    grid = (B // bm, N // bn, n_k)
 
+    xp = x if B == x.shape[0] else jnp.pad(x, ((0, B - x.shape[0]), (0, 0)))
     out = pl.pallas_call(
         functools.partial(_qmm_kernel, n_k=n_k, cdtype=x.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((B, bk), lambda n, k: (0, k)),
-            pl.BlockSpec((bk, bn), lambda n, k: (k, n)),
-            pl.BlockSpec((1, bn), lambda n, k: (0, n)),
+            pl.BlockSpec((bm, bk), lambda m, n, k: (m, k)),
+            pl.BlockSpec((bk, bn), lambda m, n, k: (k, n)),
+            pl.BlockSpec((1, bn), lambda m, n, k: (0, n)),
         ],
-        out_specs=pl.BlockSpec((B, bn), lambda n, k: (0, n)),
+        out_specs=pl.BlockSpec((bm, bn), lambda m, n, k: (m, n)),
         out_shape=jax.ShapeDtypeStruct((B, N), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((B, bn), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
         interpret=interpret,
-    )(x, w_q, scale[None, :].astype(jnp.float32))
-    return out
+    )(xp, w_q, scale[None, :].astype(jnp.float32))
+    return out if B == x.shape[0] else out[: x.shape[0]]
+
+
+def _round_up(v: int, m: int) -> int:
+    return (v + m - 1) // m * m

@@ -106,3 +106,23 @@ def test_decode_with_int8_weights():
         drifts.append(np.abs(lg_q - lg).max() / spread)
     # per-channel int8 weight noise stays a small fraction of logit range
     assert max(drifts) < 0.01, drifts
+
+
+def test_quant_matmul_tiles_rows():
+    """Prime-shaped row counts (B = batch x q_chunk, e.g. 10,240 at 1.2B
+    b40 q256) must tile over a bm grid dimension — full-height output/acc
+    blocks were a real-chip Mosaic kernel-vmem-stack OOM. Covers: B a
+    multiple of the tile, B needing pad rows, and tiny B (pad-to-sublane),
+    all against the XLA product."""
+    rng = np.random.RandomState(3)
+    K, N = 64, 96
+    w = jnp.asarray(rng.randn(K, N).astype(np.float32)) * 0.05
+    wq, s = quantize_weight(w)
+    ref_w = wq.astype(jnp.float32) * s[None, :]
+    for B, bm in ((96, 32), (72, 32), (20, 64)):
+        x = jnp.asarray(rng.randn(B, K).astype(np.float32))
+        y = quant_matmul(x, wq, s, block_m=bm, block_k=32, block_n=32,
+                         interpret=True)
+        assert y.shape == (B, N)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x @ ref_w),
+                                   rtol=1e-5, atol=1e-5)
