@@ -50,6 +50,54 @@ def quantize_weight(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return q.astype(jnp.int8), scale
 
 
+def select_blocks(B0: int, K: int, N: int, block_m: int, block_k: int,
+                  block_n: int, dtype) -> Tuple[int, int, int]:
+    """Pick (bm, bk, bn) tile sizes for :func:`quant_matmul`.
+
+    Row tile: every m-tile re-streams the entire [K, N] weight matrix from
+    HBM — the traffic that dominates this kernel — so pick the tile that
+    MINIMIZES the m-tile count (weight restreams), tiebreaking on padded
+    rows (dead compute is cheap next to an extra full weight pass; slicing
+    the pad off is free). Tiles must stay sublane-aligned (8 f32 / 16 bf16)
+    or Mosaic can reject the block shape on the real chip.
+
+    VMEM: the double-buffered x/w/out blocks plus the f32 accumulator must
+    fit Mosaic's ~16 MB scoped VMEM with headroom. At decode-prime row
+    counts (B = batch x q_chunk, e.g. 10,240 at 1.2B b40 q256) full-height
+    blocks overflow by MBs — a real-chip compile failure
+    ("kernel-vmem-stack-oom"), not a runtime OOM — hence the bm grid
+    dimension; the shrink loops handle what remains. bm only halves while
+    the result stays sublane-aligned (e.g. bf16 B=1008 must fall through
+    to the bn/bk loops, not produce bm=504).
+    """
+    dtype = jnp.dtype(dtype)
+    bk = min(block_k, K)
+    bn = min(block_n, N)
+    sub = 8 if dtype == jnp.float32 else 16
+    bm_cap = max(sub, block_m // sub * sub)
+    if B0 <= bm_cap:
+        bm = _round_up(B0, sub)
+    else:
+        cands = sorted({c for c in (1024, 512, 256, 128, bm_cap)
+                        if sub <= c <= bm_cap and c % sub == 0})
+        bm = min(cands, key=lambda c: (-(-B0 // c), _round_up(B0, c)))
+
+    def _vmem(bm, bk, bn):
+        return (3 * bm * bn * 4                    # out block x2 + acc
+                + 2 * bm * bk * dtype.itemsize     # x block x2
+                + 2 * bk * bn                      # int8 w block x2
+                + 2 * 4 * bn)                      # scale block x2
+    while (bm > 128 and (bm // 2) % sub == 0
+           and _vmem(bm, bk, bn) > 12 * 2**20):
+        bm //= 2
+    while bn > 128 and _vmem(bm, bk, bn) > 12 * 2**20:
+        bn //= 2
+    while bk > 128 and _vmem(bm, bk, bn) > 12 * 2**20:
+        bk //= 2
+    assert bm % sub == 0, (bm, sub)
+    return bm, bk, bn
+
+
 def _qmm_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int,
                 cdtype):
     k = pl.program_id(2)
@@ -89,39 +137,11 @@ def quant_matmul(
     Returns [B, N] f32 (cast outside if the consumer wants bf16 — the
     epilogue add/activation usually does).
     """
-    B, K = x.shape
+    B0, K = x.shape
     K2, N = w_q.shape
     assert K == K2, (x.shape, w_q.shape)
-    bk = min(block_k, K)
-    bn = min(block_n, N)
-    # Row tile: rows that don't divide the tile are padded (dead compute
-    # on an HBM-bound op — the weight stream dominates — and slicing the
-    # pad off is free). Pick the tile that wastes the least padding.
-    if B <= block_m:
-        bm = B = _round_up(B, 8 if x.dtype == jnp.float32 else 16)
-    else:
-        bm = max((c for c in (1024, 512, 256, 128, block_m)
-                  if c <= block_m),
-                 key=lambda c: (-_round_up(B, c), c))
-        B = _round_up(B, bm)
-
-    # adaptive blocks: the double-buffered x/w/out blocks plus the f32
-    # accumulator must fit Mosaic's ~16 MB scoped VMEM with headroom. At
-    # decode-prime row counts (B = batch x q_chunk, e.g. 10,240 at 1.2B
-    # b40 q256) full-height blocks overflow by MBs — a real-chip compile
-    # failure ("kernel-vmem-stack-oom"), not a runtime OOM — hence the
-    # bm grid dimension; the shrink loops handle what remains.
-    def _vmem(bm, bk, bn):
-        return (3 * bm * bn * 4                    # out block x2 + acc
-                + 2 * bm * bk * x.dtype.itemsize   # x block x2
-                + 2 * bk * bn                      # int8 w block x2
-                + 2 * 4 * bn)                      # scale block x2
-    while bm > 128 and B % (bm // 2) == 0 and _vmem(bm, bk, bn) > 12 * 2**20:
-        bm //= 2
-    while bn > 128 and _vmem(bm, bk, bn) > 12 * 2**20:
-        bn //= 2
-    while bk > 128 and _vmem(bm, bk, bn) > 12 * 2**20:
-        bk //= 2
+    bm, bk, bn = select_blocks(B0, K, N, block_m, block_k, block_n, x.dtype)
+    B = _round_up(B0, bm)
     assert B % bm == 0 and K % bk == 0 and N % bn == 0, (B, K, bm, bk, bn)
     n_k = K // bk
     grid = (B // bm, N // bn, n_k)

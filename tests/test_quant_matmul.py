@@ -108,6 +108,53 @@ def test_decode_with_int8_weights():
     assert max(drifts) < 0.01, drifts
 
 
+def test_select_blocks_minimizes_weight_restreams():
+    """Every m-tile re-streams the full [K, N] weight from HBM, so the row
+    tile must minimize the m-tile count, not the padded rows (r3 advisor):
+    B=1040 must not pick bm=128 (9 weight streams) when 512/1024 give 2-3."""
+    from bdm_db1_tpu.ops.quant_matmul import select_blocks
+
+    for B in (1040, 2049, 1500):
+        bm, _, _ = select_blocks(B, 2048, 8192, 1024, 512, 1024,
+                                 jnp.bfloat16)
+        streams = -(-B // bm)
+        assert streams <= -(-B // 128) // 2, (B, bm, streams)
+        assert bm % 16 == 0
+
+
+def test_select_blocks_sublane_alignment():
+    """The VMEM shrink must never produce a sublane-misaligned bm (Mosaic
+    can reject second-minor-unaligned blocks on the real chip — a latent
+    compile failure interpret mode can't catch, r3 advisor): bf16 B=1008
+    halving to 504 and f32 B=1000 halving to 500 were the bugs."""
+    from bdm_db1_tpu.ops.quant_matmul import select_blocks
+
+    bm, _, _ = select_blocks(1008, 2048, 8192, 1024, 512, 1024,
+                             jnp.bfloat16)
+    assert bm % 16 == 0, bm
+    bm, _, _ = select_blocks(1000, 2048, 8192, 1024, 512, 1024,
+                             jnp.float32)
+    assert bm % 8 == 0, bm
+    # a caller-supplied block_m off the tile menu (e.g. 20) rounds down to
+    # a sublane multiple instead of passing through verbatim
+    bm, _, _ = select_blocks(100, 64, 96, 20, 32, 32, jnp.float32)
+    assert bm % 8 == 0 and bm <= 20, bm
+
+
+def test_quant_matmul_odd_block_m():
+    """Functional check of the off-menu block_m path (B > block_m)."""
+    rng = np.random.RandomState(7)
+    K, N = 64, 96
+    w = jnp.asarray(rng.randn(K, N).astype(np.float32)) * 0.05
+    wq, s = quantize_weight(w)
+    ref_w = wq.astype(jnp.float32) * s[None, :]
+    x = jnp.asarray(rng.randn(100, K).astype(np.float32))
+    y = quant_matmul(x, wq, s, block_m=20, block_k=32, block_n=32,
+                     interpret=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x @ ref_w),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_quant_matmul_tiles_rows():
     """Prime-shaped row counts (B = batch x q_chunk, e.g. 10,240 at 1.2B
     b40 q256) must tile over a bm grid dimension — full-height output/acc
