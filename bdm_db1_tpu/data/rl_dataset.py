@@ -40,18 +40,22 @@ ObsTree = Union[np.ndarray, Dict[str, np.ndarray]]
 
 
 # ---------------------------------------------------------------------------
-# tree utilities (we only ever see flat arrays or one-level dicts,
-# reference: src/data/rl_dataset.py:645-651 "either an array or a dict")
+# tree utilities (obs trees are flat arrays or one-level dicts, reference:
+# src/data/rl_dataset.py:645-651 "either an array or a dict" — but segment()
+# maps over a (obs, act, rew) TUPLE whose obs may itself be a dict, so the
+# map recurses through containers down to array leaves)
 # ---------------------------------------------------------------------------
 
 def tree_map(fn: Callable, tree: ObsTree, *rest):
     if isinstance(tree, dict):
         return {
-            k: fn(tree[k], *[r[k] for r in rest]) for k in sorted(tree)
+            k: tree_map(fn, tree[k], *[r[k] for r in rest])
+            for k in sorted(tree)
         }
     if isinstance(tree, (tuple, list)):
         return type(tree)(
-            fn(x, *[r[i] for r in rest]) for i, x in enumerate(tree)
+            tree_map(fn, x, *[r[i] for r in rest])
+            for i, x in enumerate(tree)
         )
     return fn(tree, *rest)
 
