@@ -61,6 +61,15 @@ class ModelConfig:
     embd_pdrop: float = 0.1
     drop: float = 0.1
     dropattn: float = 0.0
+    # "u8": byte-granular masks (ops/fast_dropout.py) — 4x fewer PRNG
+    # bits than nn.Dropout's per-element uint32; keep prob quantized to
+    # 1/256 (0.1 -> 230/256), survivors rescaled by the true quantized
+    # prob (unbiased). Measured FLAT on v5e at 1.2B (12,776.6 vs 12,791
+    # tok/s): with hardware-RBG keys the bit generation is already ~free,
+    # so the residual dropout cost is the mask apply + its remat
+    # recompute, not PRNG volume (PERFORMANCE.md). Default stays "flax"
+    # (nn.Dropout, float-granular like the reference's torch dropout).
+    dropout_impl: str = "flax"
     # TransformerXL
     mem_len: int = 0
     pre_lnorm: bool = False

@@ -171,6 +171,19 @@ def _qkv_init(cfg: ModelConfig):
     return init
 
 
+def _dropout(cfg: ModelConfig, rate: float) -> nn.Module:
+    """Dropout module per ``cfg.dropout_impl``: "u8" = byte-granular masks
+    (ops/fast_dropout.py, 4x fewer PRNG bits — the measured train-step
+    dropout cost is ~2.3%, PERFORMANCE.md); "flax" = nn.Dropout
+    (float-granular, bit-matches the reference's torch dropout path,
+    reference: src/model/transformer_xl.py Dropout sites)."""
+    if getattr(cfg, "dropout_impl", "flax") == "u8":
+        from bdm_db1_tpu.ops.fast_dropout import DropoutU8
+
+        return DropoutU8(rate)
+    return nn.Dropout(rate)
+
+
 def _deepnorm_or_normal(cfg: ModelConfig):
     if not cfg.use_deepnorm:
         return NORMAL_INIT
@@ -390,7 +403,7 @@ class RelMultiHeadAttn(nn.Module):
                                   ("heads", "embed")),
                 name="o_net",
             )(attn.astype(dtype).reshape(b, qlen, d))
-            out = nn.Dropout(cfg.drop)(out, deterministic=deterministic)
+            out = _dropout(cfg, cfg.drop)(out, deterministic=deterministic)
             alpha = (2 * cfg.n_layer) ** 0.25 if cfg.use_deepnorm else 1.0
             res = (x + out) if cfg.pre_lnorm else ln(x * alpha + out)
             return res, (k_x, v_x)
@@ -478,7 +491,7 @@ class RelMultiHeadAttn(nn.Module):
                                   ("heads", "embed")),
                 name="o_net",
             )(attn.reshape(b, qlen, d))
-            out = nn.Dropout(cfg.drop)(out, deterministic=deterministic)
+            out = _dropout(cfg, cfg.drop)(out, deterministic=deterministic)
             alpha = (2 * cfg.n_layer) ** 0.25 if cfg.use_deepnorm else 1.0
             res = (x + out) if cfg.pre_lnorm else ln(x * alpha + out)
             return res, (k_x, v_x)
@@ -544,7 +557,7 @@ class RelMultiHeadAttn(nn.Module):
             kernel_init=_part(_deepnorm_or_normal(cfg), ("heads", "embed")),
             name="o_net",
         )(attn.reshape(b, qlen, d))
-        out = nn.Dropout(cfg.drop)(out, deterministic=deterministic)
+        out = _dropout(cfg, cfg.drop)(out, deterministic=deterministic)
 
         alpha = (2 * cfg.n_layer) ** 0.25 if cfg.use_deepnorm else 1.0
         if cfg.pre_lnorm:
@@ -589,7 +602,7 @@ class PositionwiseFF(nn.Module):
             bias_init=_part(nn.initializers.zeros_init(), ("embed",)),
             name="wo",
         )(h)
-        h = nn.Dropout(cfg.drop)(h, deterministic=deterministic)
+        h = _dropout(cfg, cfg.drop)(h, deterministic=deterministic)
 
         alpha = (2 * cfg.n_layer) ** 0.25 if cfg.use_deepnorm else 1.0
         if cfg.pre_lnorm:
@@ -695,7 +708,7 @@ class TransformerXL(nn.Module):
                 kernel_init=_part(NORMAL_INIT, ("embed", "vocab")),
                 name="lm_head",
             )
-        self.embed_dropout = nn.Dropout(cfg.embd_pdrop)
+        self.embed_dropout = _dropout(cfg, cfg.embd_pdrop)
 
     # ---- memory ----------------------------------------------------------
     def init_mems(self, batch_size: int) -> Array:

@@ -87,12 +87,19 @@ def pipeline_trunk(
         mask = causal_mask(L, L)
     r = relative_positional_embedding(L, cfg.n_embed, cfg.effective_clamp_len)
 
-    # mirror trunk()'s embedding dropout (applied to h and r)
+    # mirror trunk()'s embedding dropout (applied to h and r), including
+    # the byte-granular impl so both paths draw the same mask distribution
     if not deterministic and cfg.embd_pdrop > 0 and dropout_rng is not None:
         k_h, k_r, dropout_rng = jax.random.split(dropout_rng, 3)
-        keep = 1.0 - cfg.embd_pdrop
-        h = h * jax.random.bernoulli(k_h, keep, h.shape) / keep
-        r = r * jax.random.bernoulli(k_r, keep, r.shape) / keep
+        if getattr(cfg, "dropout_impl", "flax") == "u8":
+            from bdm_db1_tpu.ops.fast_dropout import dropout_u8
+
+            h = dropout_u8(h, cfg.embd_pdrop, k_h)
+            r = dropout_u8(r, cfg.embd_pdrop, k_r)
+        else:
+            keep = 1.0 - cfg.embd_pdrop
+            h = h * jax.random.bernoulli(k_h, keep, h.shape) / keep
+            r = r * jax.random.bernoulli(k_r, keep, r.shape) / keep
     if dropout_rng is None:
         dropout_rng = jax.random.PRNGKey(0)  # unused when deterministic
 
