@@ -268,32 +268,42 @@ def orchestrate(args) -> None:
             }), flush=True)
             continue
         emitted = False
-        try:
-            proc = subprocess.run(
-                [sys.executable, __file__] + argv + common,
-                capture_output=True, text=True,
-                timeout=args.section_timeout)
-            for line in proc.stdout.splitlines():
-                try:
-                    rec = json.loads(line)
-                except ValueError:
-                    continue
-                if isinstance(rec, dict) and "metric" in rec:
+        # one retry per section: the remote-compile tunnel occasionally
+        # drops a response mid-body (observed r4: "response body closed
+        # before all bytes were read") — a transient that must not blank
+        # a line in the round artifact
+        for attempt in range(2):
+            lines, err = [], None
+            try:
+                proc = subprocess.run(
+                    [sys.executable, __file__] + argv + common,
+                    capture_output=True, text=True,
+                    timeout=args.section_timeout)
+                for line in proc.stdout.splitlines():
+                    try:
+                        rec = json.loads(line)
+                    except ValueError:
+                        continue
+                    if isinstance(rec, dict) and "metric" in rec:
+                        lines.append(line)
+                        emitted = "error" not in rec
+                if not emitted:
+                    tail = (proc.stderr or proc.stdout or "").strip()
+                    err = {"metric": fallback,
+                           "error": tail[-600:] or f"rc={proc.returncode},"
+                           " no metric line emitted",
+                           "rc": proc.returncode}
+            except subprocess.TimeoutExpired:
+                err = {"metric": fallback,
+                       "error": "section timed out after "
+                       f"{args.section_timeout}s"}
+            if emitted:
+                for line in lines:
                     print(line, flush=True)
-                    emitted = "error" not in rec
-            if not emitted:
-                tail = (proc.stderr or proc.stdout or "").strip()
-                print(json.dumps({
-                    "metric": fallback,
-                    "error": tail[-600:] or f"rc={proc.returncode}, no "
-                    "metric line emitted",
-                    "rc": proc.returncode,
-                }), flush=True)
-        except subprocess.TimeoutExpired:
-            print(json.dumps({
-                "metric": fallback,
-                "error": f"section timed out after {args.section_timeout}s",
-            }), flush=True)
+                break
+            if attempt == 1 or time.time() - t_start > args.total_budget:
+                print(json.dumps(err), flush=True)
+                break
         if name == "headline":
             headline_ok = emitted
     sys.exit(0 if headline_ok else 1)
