@@ -103,7 +103,9 @@ class ModelConfig:
     # at lockstep batch >= 16 at 1.2B) at ~0.5% score error. Opt-in: the
     # greedy-argmax parity guarantee only holds for the exact cache.
     decode_cache_dtype: str = ""
-    decode_weight_dtype: str = ""  # "int8": trunk weights (QDense) at eval
+    decode_weight_dtype: str = ""  # trunk weights (QDense) at eval:
+    # "int8" = Pallas in-kernel dequant; "int8a8" = + per-row activation
+    # quant, MXU-native int8 dot (both tolerance paths, experimental)
     # fused Pallas single-token ring-decode attention
     # (ops/flash_ring_decode.py): streams the stacked K/V cache once per
     # forward instead of XLA's stage-then-dot ~3x traffic. "auto": on TPU

@@ -870,8 +870,11 @@ def shard_decode_params(params, mesh):
 
 def _maybe_quantize_weights(model, params):
     """Opt-in int8 trunk weights for decode (ModelConfig.decode_weight_dtype;
-    idempotent so DecoderPool and direct construction compose)."""
-    if getattr(model.cfg, "decode_weight_dtype", "") != "int8":
+    idempotent so DecoderPool and direct construction compose). "int8" and
+    "int8a8" share the quantized param tree — they differ only in how
+    QDense consumes it (Pallas in-kernel dequant vs MXU-native W8A8)."""
+    if getattr(model.cfg, "decode_weight_dtype", "") not in ("int8",
+                                                             "int8a8"):
         return params
     from bdm_db1_tpu.models.transformer_xl import (
         decode_weights_quantized, quantize_decode_weights,

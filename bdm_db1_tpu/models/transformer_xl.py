@@ -75,6 +75,10 @@ class QDense(nn.Module):
     param_dtype: Any = jnp.float32
     kernel_init: Any = nn.initializers.lecun_normal()
     bias_init: Any = nn.initializers.zeros_init()
+    # int8 kernels only: also quantize activations per-row and use the
+    # MXU-native int8 x int8 -> int32 dot (decode_weight_dtype="int8a8")
+    # instead of the in-kernel-dequant Pallas matmul ("int8")
+    a8: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -83,14 +87,19 @@ class QDense(nn.Module):
             (jnp.shape(x)[-1], self.features), self.param_dtype)
         dtype = jnp.dtype(self.dtype)
         if jnp.dtype(kernel.dtype) == jnp.int8:
-            from bdm_db1_tpu.ops.quant_matmul import quant_matmul
+            from bdm_db1_tpu.ops.quant_matmul import (
+                quant_matmul, w8a8_matmul,
+            )
 
             scale = self.param("kernel_scale", nn.initializers.ones,
                                (self.features,), jnp.float32)
             shp = jnp.shape(x)
-            y = quant_matmul(
-                x.reshape(-1, shp[-1]).astype(dtype), kernel, scale,
-                interpret=jax.devices()[0].platform != "tpu")
+            if self.a8:
+                y = w8a8_matmul(x.reshape(-1, shp[-1]), kernel, scale)
+            else:
+                y = quant_matmul(
+                    x.reshape(-1, shp[-1]).astype(dtype), kernel, scale,
+                    interpret=jax.devices()[0].platform != "tpu")
             y = y.reshape(shp[:-1] + (self.features,)).astype(dtype)
         else:
             y = jnp.dot(x.astype(dtype), kernel.astype(dtype))
@@ -316,7 +325,8 @@ class RelMultiHeadAttn(nn.Module):
         )
         qkv_net = QDense(
             3 * d, use_bias=False, dtype=dtype, param_dtype=cfg.param_dtype,
-            kernel_init=_part(_qkv_init(cfg), ("embed", "qkv")), name="qkv_net",
+            kernel_init=_part(_qkv_init(cfg), ("embed", "qkv")),
+            a8=cfg.decode_weight_dtype == "int8a8", name="qkv_net",
         )
 
         qlen = x.shape[1]
@@ -401,7 +411,7 @@ class RelMultiHeadAttn(nn.Module):
                 d, use_bias=False, dtype=dtype, param_dtype=cfg.param_dtype,
                 kernel_init=_part(_deepnorm_or_normal(cfg),
                                   ("heads", "embed")),
-                name="o_net",
+                a8=cfg.decode_weight_dtype == "int8a8", name="o_net",
             )(attn.astype(dtype).reshape(b, qlen, d))
             out = _dropout(cfg, cfg.drop)(out, deterministic=deterministic)
             alpha = (2 * cfg.n_layer) ** 0.25 if cfg.use_deepnorm else 1.0
@@ -489,7 +499,7 @@ class RelMultiHeadAttn(nn.Module):
                 d, use_bias=False, dtype=dtype, param_dtype=cfg.param_dtype,
                 kernel_init=_part(_deepnorm_or_normal(cfg),
                                   ("heads", "embed")),
-                name="o_net",
+                a8=cfg.decode_weight_dtype == "int8a8", name="o_net",
             )(attn.reshape(b, qlen, d))
             out = _dropout(cfg, cfg.drop)(out, deterministic=deterministic)
             alpha = (2 * cfg.n_layer) ** 0.25 if cfg.use_deepnorm else 1.0
@@ -555,7 +565,7 @@ class RelMultiHeadAttn(nn.Module):
         out = QDense(
             d, use_bias=False, dtype=dtype, param_dtype=cfg.param_dtype,
             kernel_init=_part(_deepnorm_or_normal(cfg), ("heads", "embed")),
-            name="o_net",
+            a8=cfg.decode_weight_dtype == "int8a8", name="o_net",
         )(attn.reshape(b, qlen, d))
         out = _dropout(cfg, cfg.drop)(out, deterministic=deterministic)
 
@@ -592,7 +602,7 @@ class PositionwiseFF(nn.Module):
             d_inner, use_bias=True, dtype=dtype, param_dtype=cfg.param_dtype,
             kernel_init=_part(_deepnorm_or_normal(cfg), ("embed", "mlp")),
             bias_init=_part(nn.initializers.zeros_init(), ("mlp",)),
-            name="wi",
+            a8=cfg.decode_weight_dtype == "int8a8", name="wi",
         )
         h = act(dense_in(inp))
         h = QDense(
@@ -600,7 +610,7 @@ class PositionwiseFF(nn.Module):
             param_dtype=cfg.param_dtype,
             kernel_init=_part(_deepnorm_or_normal(cfg), ("mlp", "embed")),
             bias_init=_part(nn.initializers.zeros_init(), ("embed",)),
-            name="wo",
+            a8=cfg.decode_weight_dtype == "int8a8", name="wo",
         )(h)
         h = _dropout(cfg, cfg.drop)(h, deterministic=deterministic)
 

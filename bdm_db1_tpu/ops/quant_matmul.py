@@ -165,5 +165,29 @@ def quant_matmul(
     return out if B == x.shape[0] else out[: x.shape[0]]
 
 
+def w8a8_matmul(x: jax.Array, w_q: jax.Array,
+                scale: jax.Array) -> jax.Array:
+    """``x @ (w_q * scale)`` with the ACTIVATIONS quantized too (W8A8).
+
+    Per-row symmetric int8 quantization of ``x`` lets the MXU consume a
+    native int8 x int8 -> int32 dot: no Pallas, no in-VMEM dequant
+    convert (the VPU unpack chain that made the weight-only
+    :func:`quant_matmul` a measured net loss at every 1.2B decode
+    operating point — PERFORMANCE.md int8-weights table), the weight
+    streams HBM at 1 byte/element, and XLA fuses the row/channel scale
+    epilogue. Wider tolerance than weight-only int8: the activations
+    round to 8 bits as well (decode-only path; reference workload
+    /root/reference/src/evaluation/evaluate_rl.py:177-258).
+    """
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)      # [B, 1]
+    xs = jnp.where(amax > 0, amax / 127.0, 1.0)
+    xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, w_q, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * xs * scale[None, :]
+
+
 def _round_up(v: int, m: int) -> int:
     return (v + m - 1) // m * m

@@ -120,10 +120,12 @@ def main() -> None:
                     choices=["dots", "dots_narrow", "full"],
                     help="train mode: which activations survive to backward")
     ap.add_argument("--no-remat", action="store_true")
-    ap.add_argument("--weight-dtype", default="", choices=["", "int8"],
-                    help="eval mode: int8 trunk weights (QDense + "
-                         "ops/quant_matmul in-kernel dequant; tolerance "
-                         "path, not bit-parity)")
+    ap.add_argument("--weight-dtype", default="",
+                    choices=["", "int8", "int8a8"],
+                    help="eval mode: int8 trunk weights (QDense; tolerance "
+                         "path, not bit-parity). int8 = Pallas in-kernel "
+                         "dequant; int8a8 = per-row activation quant too, "
+                         "MXU-native int8 dot (no VPU convert)")
     ap.add_argument("--nu-dtype", default="", choices=["", "bfloat16"],
                     help="train mode: storage dtype for the Adam second "
                          "moment (halves another ~4.8 GB/step of "

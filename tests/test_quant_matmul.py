@@ -108,6 +108,80 @@ def test_decode_with_int8_weights():
     assert max(drifts) < 0.01, drifts
 
 
+def test_w8a8_matmul_parity():
+    """w8a8_matmul == round(x/xs) @ w_q * xs * scale computed explicitly
+    in f32 (the int32 accumulation is exact: |acc| <= K*127^2 << 2^31),
+    and approximates the unquantized product."""
+    from bdm_db1_tpu.ops.quant_matmul import w8a8_matmul
+
+    rng = np.random.RandomState(11)
+    B, K, N = 12, 64, 96
+    x = jnp.asarray(rng.randn(B, K).astype(np.float32))
+    w = jnp.asarray(rng.randn(K, N).astype(np.float32)) * 0.05
+    wq, s = quantize_weight(w)
+
+    y = np.asarray(w8a8_matmul(x, wq, s))
+    amax = np.abs(np.asarray(x)).max(axis=1, keepdims=True)
+    xs = np.where(amax > 0, amax / 127.0, 1.0)
+    xq = np.clip(np.round(np.asarray(x) / xs), -127, 127)
+    ref = (xq @ np.asarray(wq, np.float32)) * xs * np.asarray(s)[None, :]
+    np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-5)
+    full = np.asarray(x @ w)
+    rel = np.abs(y - full) / (np.abs(full).max() + 1e-6)
+    assert rel.max() < 0.05
+    # all-zero rows stay exactly zero (xs falls back to 1.0)
+    y0 = np.asarray(w8a8_matmul(jnp.zeros((2, K)), wq, s))
+    assert not y0.any()
+
+
+def test_decode_with_w8a8_weights():
+    """decode_weight_dtype="int8a8": same quantized param tree as "int8"
+    but consumed via the MXU-native int8 x int8 dot with per-row
+    activation scales — bounded logit drift vs the exact-weight decode."""
+    from bdm_db1_tpu.core.config import db1_tiny
+    from bdm_db1_tpu.data.input_specs import RLTaskBatch
+    from bdm_db1_tpu.models.transformer_xl import (
+        TransformerXL, quantize_decode_weights,
+    )
+
+    cfg = db1_tiny()
+    cfg.model.dtype = "float32"
+    model = TransformerXL(cfg.model, cfg.vocab, cfg.vision)
+    cfg_a8 = db1_tiny()
+    cfg_a8.model.dtype = "float32"
+    cfg_a8.model.decode_weight_dtype = "int8a8"
+    model_a8 = TransformerXL(cfg_a8.model, cfg_a8.vocab, cfg_a8.vision)
+
+    layout = cfg.vocab.layout()
+    tok0 = jnp.zeros((1, cfg.model.n_position), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), {"rl": RLTaskBatch(
+        tokens=tok0, position_id=tok0, loss_mask=tok0, label=tok0)})["params"]
+    qparams = quantize_decode_weights(params)
+
+    ring = model.apply({"params": params}, 2,
+                       method=TransformerXL.init_kv_cache_ring)
+    ring_q = model.apply({"params": params}, 2,
+                         method=TransformerXL.init_kv_cache_ring)
+    rk = model.apply({"params": params}, 6,
+                     method=TransformerXL.precompute_rk)
+    rng = np.random.RandomState(13)
+    drifts = []
+    for _ in range(3):
+        t = jnp.asarray(
+            rng.randint(0, layout.total_vocab_size, (2, 6)), jnp.int32)
+        p = jnp.asarray(rng.randint(0, 8, (2, 6)), jnp.int32)
+        lg, ring = model.apply({"params": params}, t, p, ring, rk,
+                               method=TransformerXL.decode_rl_kv_ring)
+        lg_q, ring_q = model_a8.apply({"params": qparams}, t, p, ring_q, rk,
+                                      method=TransformerXL.decode_rl_kv_ring)
+        lg, lg_q = np.asarray(lg), np.asarray(lg_q)
+        assert lg_q.shape == lg.shape and np.isfinite(lg_q).all()
+        spread = lg.max() - lg.min() + 1e-6
+        drifts.append(np.abs(lg_q - lg).max() / spread)
+    # weight + activation int8 noise: wider than weight-only but bounded
+    assert max(drifts) < 0.03, drifts
+
+
 def test_select_blocks_minimizes_weight_restreams():
     """Every m-tile re-streams the full [K, N] weight from HBM, so the row
     tile must minimize the m-tile count, not the padded rows (r3 advisor):
