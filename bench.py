@@ -10,12 +10,15 @@ Bare ``python bench.py`` emits one JSON line per metric
   3. image-geometry (atari) RL eval actions/sec,
   4. text-geometry (babyai) RL eval actions/sec (instruction tokens +
      image obs, discrete actions),
-  5. int8-cache RL eval actions/sec (the single-chip peak; tolerance
-     path, in-kernel dequant),
-  6. speculative-decode actions/sec with a BC-smoothed policy
+  5. int8-cache RL eval actions/sec (the largest-batch operating point;
+     tolerance path, in-kernel dequant),
+  6. W8A8-decode-weights actions/sec (per-row activation quant +
+     MXU-native int8 dot — the quantization that beats bf16 at the
+     flagship batch; tolerance path),
+  7. speculative-decode actions/sec with a BC-smoothed policy
      (spec_verify_rounds_mean strictly between the all-accepted and
      all-rejected endpoints),
-  7. RL-eval decode actions/sec, proprioceptive geometry, exact bf16
+  8. RL-eval decode actions/sec, proprioceptive geometry, exact bf16
      cache (the headline metric, printed LAST so drivers that parse the
      final line keep it as the headline).
 
@@ -179,7 +182,13 @@ def main() -> None:
     ap.add_argument("--skip", default="",
                     help="orchestrator mode: comma-separated section names "
                          "to skip (pretrain,production,atari,babyai,"
-                         "int8_cache,spec)")
+                         "int8_cache,w8a8,spec)")
+    ap.add_argument("--fault-inject", action="store_true",
+                    help=argparse.SUPPRESS)  # crash this section on entry:
+    # the orchestrator adds it to the section named by $BENCH_FAULT_INJECT
+    # so tests/test_bench_orchestrator.py can prove a crashing section
+    # yields an {"metric", "error"} line without blanking the headline
+    # (the r3 failure mode, BENCH_r03.json rc=1)
     ap.add_argument("--total-budget", type=int, default=9000,
                     help="orchestrator mode: once this many seconds have "
                          "elapsed, remaining NON-headline sections are "
@@ -188,6 +197,8 @@ def main() -> None:
                          "outer driver timeout")
     args = ap.parse_args()
 
+    if args.fault_inject:
+        raise RuntimeError("fault injected (BENCH_FAULT_INJECT test hook)")
     if args.mode == "train":
         bench_train(args)
     elif args.mode == "production":
@@ -246,6 +257,13 @@ def orchestrate(args) -> None:
          ["--mode", "eval", "--cache-dtype", "int8", "--tag", "_int8"]
          + ([] if args.smoke else ["--batch", str(INT8_CACHE_BATCH)]),
          "rl_eval_actions_per_sec_1p2b_int8"),
+        # W8A8 decode weights: per-row activation quant + MXU-native
+        # int8 x int8 -> int32 dot (ops/quant_matmul.w8a8_matmul). The
+        # one weight quantization that measured a WIN at 1.2B (247.0 vs
+        # 245.4 bf16 at b40); tolerance path, so bf16 stays the headline.
+        ("w8a8",
+         ["--mode", "eval", "--weight-dtype", "int8a8", "--tag", "_w8a8"],
+         "rl_eval_actions_per_sec_1p2b_w8a8"),
         # speculative decode with the BC-smoothed policy (realistic
         # intermediate acceptance; --spec-ceiling / bare --speculate are
         # the hand-run 100%/0% envelope endpoints)
@@ -256,12 +274,17 @@ def orchestrate(args) -> None:
          + (["--batch", str(args.batch)] if args.batch is not None else []),
          "rl_eval_actions_per_sec_1p2b"),
     ]
+    import os
+
     skip = {s for s in args.skip.split(",") if s}
+    fault = os.environ.get("BENCH_FAULT_INJECT", "")
     headline_ok = False
     t_start = time.time()
     for name, argv, fallback in sections:
         if name in skip:
             continue
+        if name == fault:
+            argv = argv + ["--fault-inject"]
         if name != "headline" and time.time() - t_start > args.total_budget:
             print(json.dumps({
                 "metric": fallback,
