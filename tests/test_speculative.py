@@ -199,6 +199,47 @@ def test_speculative_int8_cache_runs():
                 & (a < layout.separator_id)).all(), a
 
 
+def test_speculative_w8a8_weights_match_sequential():
+    """Spec decode with MXU-native W8A8 trunk weights
+    (decode_weight_dtype="int8a8") reproduces the *sequential* W8A8
+    actions exactly: per-row activation quantization is row-independent
+    and the int8 dot reduces exactly in int32, so the spec tail verify
+    computes the same logits the q=1 sequential forwards do."""
+    cfg, model, params, tenvs = _setup(
+        FakeContinuousEnv, 2, obs_dim=4, act_dim=3, episode_len=6)
+    qmodel = TransformerXL(
+        dataclasses.replace(model.cfg, decode_weight_dtype="int8a8"),
+        cfg.vocab, cfg.vision)
+    qdec = build_decoder_for_env(qmodel, params, tenvs[0])
+    sdec = _spec_decoder(cfg, model, params, tenvs[0],
+                         decode_weight_dtype="int8a8")
+    assert sdec.speculates
+    primes = _episode_primes(tenvs, 11, 3, 4)
+    ref = _chain(qdec, primes, defer=False)
+    got = _chain(sdec, primes, defer=True)
+    for k, (a, b) in enumerate(zip(ref, got)):
+        np.testing.assert_array_equal(a, b, err_msg=f"step {k}")
+
+
+def test_speculative_w8a8_int8_cache_stack_runs():
+    """The full quantized decode stack — spec verify + W8A8 weights +
+    int8 ring cache (bench.py --speculate --spec-policy bc
+    --weight-dtype int8a8 --cache-dtype int8) — runs end to end and
+    keeps actions in the continuous token range."""
+    cfg, model, params, tenvs = _setup(
+        FakeContinuousEnv, 2, obs_dim=4, act_dim=3, episode_len=6)
+    sdec = _spec_decoder(cfg, model, params, tenvs[0],
+                         decode_weight_dtype="int8a8",
+                         decode_cache_dtype="int8")
+    assert sdec.speculates
+    layout = cfg.vocab.layout()
+    primes = _episode_primes(tenvs, 17, 3, 4)
+    acts = _chain(sdec, primes, defer=True)
+    for a in acts:
+        assert ((a >= layout.continuous_offset)
+                & (a < layout.separator_id)).all(), a
+
+
 def test_spec_tail_pure_verify_leaves_cache_untouched():
     """decode_rl_kv_ring with spec_tail == q commits nothing: cache arrays
     and cursor come back unchanged."""
