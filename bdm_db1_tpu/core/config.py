@@ -122,6 +122,15 @@ class ModelConfig:
     # action smoothness makes acceptance high. Ignored for discrete
     # (single-token) actions and non-same_length configs.
     decode_speculative: bool = False
+    # adaptive speculation (implies decode_speculative capability): each
+    # decode chain (cohort/episode) monitors the verify-rounds EWMA and
+    # falls back to the classic per-dim scan when guesses stop landing
+    # (measured: spec wins +24% at rounds_mean 1.13 but LOSES 22% at the
+    # all-rejected endpoint, PERFORMANCE.md) — probing re-enters when the
+    # policy smooths out. Greedy actions are identical on the exact-cache
+    # path whichever mode each step runs (both paths are exact), so this
+    # only changes throughput, never behavior.
+    decode_spec_adaptive: bool = False
 
     @property
     def d_head(self) -> int:

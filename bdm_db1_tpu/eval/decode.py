@@ -161,10 +161,17 @@ class ActionDecoder:
         # commit-nothing verify forwards. 1 forward per env step at full
         # acceptance vs 1 + (action_length - 1) sequentially; worst case
         # (every guess wrong every round) equals the sequential count.
-        self.speculates = (bool(getattr(model.cfg, "decode_speculative",
-                                        False))
+        self.speculates = ((bool(getattr(model.cfg, "decode_speculative",
+                                         False))
+                            or bool(getattr(model.cfg,
+                                            "decode_spec_adaptive", False)))
                            and self.defers and not discrete_action
                            and self.action_length > 1)
+        # adaptive mode: the decoder exposes BOTH compiled paths and the
+        # per-chain AdaptiveSpecSession picks one per call; a bare
+        # decode()/decode_async() (no session) still speculates every step
+        self.spec_adaptive = (self.speculates and bool(
+            getattr(model.cfg, "decode_spec_adaptive", False)))
         # how many trailing action tokens of a decode the caller must carry
         # into the next call's deferred_tok (1 = classic defer_last)
         self.defer_width = self.action_length if self.speculates else 1
@@ -259,6 +266,8 @@ class ActionDecoder:
         env_action_mask=None,
         deferred_tok: Optional[np.ndarray] = None,
         defer_last: bool = False,
+        speculate: Optional[bool] = None,
+        guess_tok: Optional[np.ndarray] = None,
     ) -> Tuple[np.ndarray, object]:
         """Greedy-decode one action per batch row; returns (action token ids
         [action_length] or [B, action_length], new mems). Prime sequences
@@ -268,7 +277,8 @@ class ActionDecoder:
         single = prime_tokens.ndim == 1
         act, new_mems = self.decode_async(
             prime_tokens, mems, prime_images, env_action_mask,
-            deferred_tok=deferred_tok, defer_last=defer_last)
+            deferred_tok=deferred_tok, defer_last=defer_last,
+            speculate=speculate, guess_tok=guess_tok)
         act = np.asarray(act)
         return (act[0] if single else act), new_mems
 
@@ -280,6 +290,8 @@ class ActionDecoder:
         env_action_mask=None,
         deferred_tok: Optional[np.ndarray] = None,
         defer_last: bool = False,
+        speculate: Optional[bool] = None,
+        guess_tok: Optional[np.ndarray] = None,
     ) -> Tuple[object, object]:
         """Like :meth:`decode` but returns the action tokens as a device
         array WITHOUT blocking — the dispatch is async, so the caller can
@@ -291,12 +303,23 @@ class ActionDecoder:
         token back as the next call's ``deferred_tok`` ([B] or [] int), and
         the episode's token stream stays identical — the deferred token is
         simply written by the next prime instead of its own forward.
+
+        ``speculate`` (adaptive mode) picks the path per call: None keeps
+        the decoder default (speculative whenever :attr:`speculates`);
+        False forces the classic per-dim scan. ``guess_tok`` ([B, >=S]
+        int, optional) supplies the speculative guesses explicitly — the
+        previous step's full action block — for calls whose
+        ``deferred_tok`` carries fewer than action_length tokens (a classic
+        defer_last step only leaves ONE uncommitted token behind, but the
+        whole previous action is still the right smoothness guess).
         """
         single = prime_tokens.ndim == 1
         if single:
             prime_tokens = prime_tokens[None]
             if prime_images is not None:
                 prime_images = prime_images[None]
+            if guess_tok is not None:
+                guess_tok = np.asarray(guess_tok).reshape(1, -1)
         defer_last = defer_last and self.defers
         lead = 0
         deferred = None
@@ -382,10 +405,12 @@ class ActionDecoder:
                     sizes.insert(0, lead)
                     if frame_splits is not None:
                         frame_splits = (0,) + tuple(frame_splits)
-        if self.speculates:
+        spec_now = self.speculates if speculate is None \
+            else (bool(speculate) and self.speculates)
+        if spec_now:
             return self._dispatch_spec(tokens, pos, mems, bias_dev, images,
                                        sizes, frame_splits, q, deferred,
-                                       defer_last)
+                                       defer_last, guess_tok)
         rk_chunks = (tuple(self._rk_for(s) for s in sizes)
                      if sizes is not None else (self._rk_for(q),))
         act_tokens, new_mems = self._jit_decode(
@@ -395,15 +420,18 @@ class ActionDecoder:
         return act_tokens, new_mems
 
     def _dispatch_spec(self, tokens, pos, mems, bias_dev, images, sizes,
-                       frame_splits, q, deferred, defer_last):
+                       frame_splits, q, deferred, defer_last,
+                       guess_tok=None):
         """Assemble the speculative decode call: persistence guesses from
-        the deferred previous action (or the mid-range cold guess), the
-        ring slice plan with the guess tail riding the last slice, and the
-        per-qlen positional projections."""
+        the deferred previous action (or an explicit ``guess_tok``, or the
+        mid-range cold guess), the ring slice plan with the guess tail
+        riding the last slice, and the per-qlen positional projections."""
         S = self.action_length - 1
         b = tokens.shape[0]
         M = self.model.cfg.mem_len
-        if (deferred is not None
+        if guess_tok is not None:
+            guesses = np.asarray(guess_tok, np.int64)[:, :S]
+        elif (deferred is not None
                 and deferred.shape[1] == self.action_length):
             guesses = deferred[:, :S]
         else:
@@ -477,6 +505,148 @@ class ActionDecoder:
             sizes.append(tail)
             frames.append(1)
         return sizes, tuple(frames)
+
+
+class SpecController:
+    """Host-side policy for adaptive speculation: speculate while the
+    verify-rounds EWMA stays below the measured break-even, fall back to
+    the classic per-dim scan when it doesn't, and probe periodically to
+    re-enter once the policy smooths out.
+
+    The thresholds come from the 1.2B b40 measurements (PERFORMANCE.md):
+    actions/sec is ~linear in rounds_mean between the endpoints (~304 at
+    1.13, 187.4 at the all-rejected max of S=5) and crosses the classic
+    path's 245 near rounds_mean ~3 — hence exit at 3.0 with re-entry
+    hysteresis at 2.5. Pure host arithmetic; unit-testable without a
+    device (tests/test_speculative.py)."""
+
+    def __init__(self, *, exit_rounds: float = 3.0,
+                 reenter_rounds: float = 2.5, probe_every: int = 64,
+                 alpha: float = 0.25, min_obs: int = 4):
+        self.exit_rounds = float(exit_rounds)
+        self.reenter_rounds = float(reenter_rounds)
+        self.probe_every = int(probe_every)
+        self.alpha = float(alpha)
+        self.min_obs = int(min_obs)
+        self.spec_mode = True
+        self.ewma: Optional[float] = None
+        self.n_obs = 0
+        self.switches = 0          # diagnostics: mode flips so far
+        self.spec_steps = 0        # diagnostics: steps run speculatively
+        self.total_steps = 0
+        self.rounds_sum = 0.0      # diagnostics: over observed spec steps
+        self.rounds_n = 0
+        self._since_probe = 0
+        self._probing = False
+
+    def decide(self) -> bool:
+        """Call once per decode step, before dispatch."""
+        self.total_steps += 1
+        if self.spec_mode:
+            self._probing = False
+            self.spec_steps += 1
+            return True
+        self._since_probe += 1
+        if self._since_probe >= self.probe_every:
+            self._since_probe = 0
+            self._probing = True
+            self.spec_steps += 1
+            return True
+        self._probing = False
+        return False
+
+    def observe(self, rounds: float) -> None:
+        """Feed the verify-rounds count of a speculative step (host float;
+        the caller fetches it alongside the action tokens, so no extra
+        device round trip)."""
+        r = float(rounds)
+        self.rounds_sum += r
+        self.rounds_n += 1
+        if self._probing:
+            # a probe's single sample decides re-entry (with hysteresis);
+            # the EWMA restarts from it so a stale bad average can't veto
+            if r <= self.reenter_rounds:
+                self.spec_mode = True
+                self.switches += 1
+                self.ewma, self.n_obs = r, 1
+            return
+        self.ewma = r if self.ewma is None \
+            else (1 - self.alpha) * self.ewma + self.alpha * r
+        self.n_obs += 1
+        # min_obs keeps one cold-start miss (the episode's first guesses
+        # are the mid-range default) from instantly exiting
+        if (self.spec_mode and self.n_obs >= self.min_obs
+                and self.ewma > self.exit_rounds):
+            self.spec_mode = False
+            self.switches += 1
+            self._since_probe = 0
+
+
+class AdaptiveSpecSession:
+    """Per-decode-chain driver for adaptive speculation.
+
+    One :class:`ActionDecoder` is shared across cohorts (DecoderPool
+    shares by geometry), so the adaptive state — speculate-or-not, the
+    rounds EWMA, the previous action block used as guesses — lives here,
+    one session per episode chain. The caller keeps owning the deferred
+    carry; :attr:`defer_width` says how many trailing action tokens this
+    call left uncommitted (action_length after a speculative step, 1
+    after a classic defer_last step).
+
+    Both paths produce the greedy actions bit-exactly on the exact-cache
+    path, so mode switches never change episode behavior — only
+    throughput (the safety property that lets speculation default on for
+    arbitrary policies; the non-adaptive flag costs 22% when guesses
+    never land, PERFORMANCE.md)."""
+
+    def __init__(self, decoder: "ActionDecoder",
+                 controller: Optional[SpecController] = None):
+        assert getattr(decoder, "speculates", False), \
+            "adaptive speculation needs a speculative-capable decoder"
+        self.decoder = decoder
+        if controller is None:
+            # break-even scales with the per-step forwards speculation can
+            # save: measured ~3.0 rounds at the flagship's S = 5
+            # (PERFORMANCE.md), i.e. ~0.6 * S
+            S = decoder.action_length - 1
+            controller = SpecController(exit_rounds=0.6 * S,
+                                        reenter_rounds=0.5 * S)
+        self.ctl = controller
+        self.last_was_spec = True
+        self.defer_width = decoder.action_length
+        self._guess = None           # previous action block [B, A] (host)
+        self._rounds_dev = None      # unfetched device scalar
+
+    def decode_async(self, prime_tokens, mems, **kw):
+        spec = self.ctl.decide()
+        act, mems = self.decoder.decode_async(
+            prime_tokens, mems, speculate=spec, guess_tok=self._guess,
+            **kw)
+        self.last_was_spec = spec
+        self.defer_width = (self.decoder.action_length if spec else 1)
+        self._rounds_dev = self.decoder.last_spec_rounds if spec else None
+        return act, mems
+
+    def harvest(self, pending) -> np.ndarray:
+        """Block on a pending decode; returns the action tokens [B, A].
+        Fetches the step's verify-rounds scalar in the same transfer
+        (device_get overlaps the leaf copies) and advances the
+        controller; keeps the action block as the next step's guesses."""
+        if self._rounds_dev is not None:
+            act, r = jax.device_get((pending, self._rounds_dev))
+            act = np.asarray(act)
+            self.ctl.observe(float(r))
+            self._rounds_dev = None
+        else:
+            act = np.asarray(pending)
+        self._guess = act
+        return act
+
+    def decode(self, prime_tokens, mems, **kw):
+        act, mems = self.decode_async(prime_tokens, mems, **kw)
+        act = self.harvest(act)
+        # mirror ActionDecoder.decode's single-row squeeze
+        return (act[0] if prime_tokens.ndim == 1 else act), mems
 
 
 def _prime_chunk(model_cfg) -> int:

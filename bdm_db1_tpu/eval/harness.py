@@ -19,7 +19,9 @@ from typing import Callable, Dict, List, Optional, Sequence, Tuple
 import jax
 import numpy as np
 
-from bdm_db1_tpu.eval.decode import ActionDecoder, build_decoder_for_env
+from bdm_db1_tpu.eval.decode import (
+    ActionDecoder, AdaptiveSpecSession, build_decoder_for_env,
+)
 from bdm_db1_tpu.eval.wrapper import TokenizedEnv
 
 
@@ -65,13 +67,19 @@ def run_episode(
     done = False
     defers = bool(getattr(decoder, "defers", False))
     deferred = None
+    # adaptive speculation: per-episode session (the decoder is shared
+    # across episodes/cohorts; the mode + guess state must not be)
+    sess = (AdaptiveSpecSession(decoder)
+            if getattr(decoder, "spec_adaptive", False) else None)
+    dec = sess.decode if sess is not None else decoder.decode
 
     while not done:
-        act_tokens, mems = decoder.decode(
+        act_tokens, mems = dec(
             prime, mems, prime_images=prime_img, env_action_mask=action_mask,
             deferred_tok=deferred, defer_last=defers)
         if defers:
-            w = int(getattr(decoder, "defer_width", 1))
+            w = int(sess.defer_width if sess is not None
+                    else getattr(decoder, "defer_width", 1))
             deferred = np.asarray(act_tokens)[..., -w:]
         action = env.tok.decode_action(act_tokens, env.discrete_action)
         obs_tokens, obs_img, action_mask, reward, done, _ = env.step(action)
@@ -296,9 +304,16 @@ class _LockstepCohort:
         # as next step's guesses); classic deferral carries the last token
         self._defer_width = int(getattr(decoder, "defer_width", 1))
         self._deferred = None
+        # adaptive speculation: mode/EWMA/guess state is per COHORT (the
+        # decoder is shared by geometry via DecoderPool), and the deferred
+        # width varies per step with the path the session picked
+        self._sess = (AdaptiveSpecSession(decoder)
+                      if getattr(decoder, "spec_adaptive", False) else None)
 
     def dispatch(self) -> None:
-        self._pending, self.mems = self.decoder.decode_async(
+        dec = (self._sess.decode_async if self._sess is not None
+               else self.decoder.decode_async)
+        self._pending, self.mems = dec(
             self.prime, self.mems, prime_images=self.prime_img,
             env_action_mask=self.action_mask,
             deferred_tok=self._deferred, defer_last=self._defers)
@@ -311,11 +326,14 @@ class _LockstepCohort:
         observation tokenization run as whole-batch numpy array ops; only
         ``env.step`` itself (and the action-mask fetch) stays per env.
         """
-        act_tokens = np.asarray(self._pending)
+        act_tokens = (self._sess.harvest(self._pending)
+                      if self._sess is not None
+                      else np.asarray(self._pending))
         self._pending = None
         if self._defers:
-            self._deferred = (act_tokens if self._defer_width > 1
-                              else act_tokens[:, -1])
+            w = (self._sess.defer_width if self._sess is not None
+                 else self._defer_width)
+            self._deferred = (act_tokens if w > 1 else act_tokens[:, -1])
         live = np.flatnonzero(~self.done)
         if live.size == 0:
             return True

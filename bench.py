@@ -18,7 +18,10 @@ Bare ``python bench.py`` emits one JSON line per metric
   7. speculative-decode actions/sec with a BC-smoothed policy
      (spec_verify_rounds_mean strictly between the all-accepted and
      all-rejected endpoints),
-  8. RL-eval decode actions/sec, proprioceptive geometry, exact bf16
+  8. ADAPTIVE speculation at the adverse endpoint (random weights, every
+     guess rejected): the SpecController exits to the classic path and
+     recovers most of the 22% the bare flag loses there,
+  9. RL-eval decode actions/sec, proprioceptive geometry, exact bf16
      cache (the headline metric, printed LAST so drivers that parse the
      final line keep it as the headline).
 
@@ -157,6 +160,14 @@ def main() -> None:
                          "greedy policy has realistic temporal smoothness "
                          "— acceptance strictly between the random-weight "
                          "floor (0%%) and the --spec-ceiling (100%%)")
+    ap.add_argument("--spec-adaptive", action="store_true",
+                    help="adaptive speculation (implies --speculate): a "
+                         "per-chain SpecController speculates while the "
+                         "verify-rounds EWMA beats the measured break-even "
+                         "(~3 rounds at 1.2B b40) and falls back to the "
+                         "classic per-dim scan otherwise, probing to "
+                         "re-enter — the safe-by-default mode "
+                         "(ModelConfig.decode_spec_adaptive)")
     ap.add_argument("--spec-ceiling", action="store_true",
                     help="with --speculate: zero the params so the greedy "
                          "policy is constant and every guess is accepted "
@@ -269,6 +280,13 @@ def orchestrate(args) -> None:
         # the hand-run 100%/0% envelope endpoints)
         ("spec", ["--mode", "eval", "--speculate", "--spec-policy", "bc"],
          "rl_eval_actions_per_sec_1p2b_spec"),
+        # adaptive speculation at the ADVERSE endpoint (random weights =
+        # every guess rejected): the SpecController must exit to the
+        # classic path and recover most of the 22% the bare flag loses
+        # there (187.4 vs 245.4 hand-run) — the artifact line that proves
+        # speculation is safe to leave on
+        ("spec_adaptive", ["--mode", "eval", "--spec-adaptive"],
+         "rl_eval_actions_per_sec_1p2b_spec_adaptive"),
         ("headline",
          ["--mode", "eval"]
          + (["--batch", str(args.batch)] if args.batch is not None else []),
@@ -392,9 +410,11 @@ def _eval_setup(args, n_envs: int, episode_len: int, geometry: str):
         cfg.model.param_dtype = "bfloat16"
     cfg.model.decode_cache_dtype = args.cache_dtype
     cfg.model.decode_weight_dtype = getattr(args, "weight_dtype", "")
-    if getattr(args, "spec_ceiling", False):
+    if getattr(args, "spec_ceiling", False) \
+            or getattr(args, "spec_adaptive", False):
         args.speculate = True
     cfg.model.decode_speculative = getattr(args, "speculate", False)
+    cfg.model.decode_spec_adaptive = getattr(args, "spec_adaptive", False)
 
     if geometry == "mujoco":
         obs_dim, act_dim = (4, 2) if args.smoke else (17, 6)
@@ -505,22 +525,30 @@ def bench_eval(args, geometry=None, tag: str = "") -> None:
     prime_img = np.stack(prime_imgs) if prime_imgs else None
     mems = decoder.init_mems(B)
 
+    sess = None
+    if getattr(decoder, "spec_adaptive", False):
+        from bdm_db1_tpu.eval.decode import AdaptiveSpecSession
+
+        sess = AdaptiveSpecSession(decoder)
     times = []
     spec_rounds = []
     deferred = None
     for step_i in range(episode_len):
         t0 = time.perf_counter()
-        act_tokens, mems = decoder.decode(prime, mems,
-                                          prime_images=prime_img,
-                                          deferred_tok=deferred,
-                                          defer_last=decoder.defers)
+        dec = sess.decode if sess is not None else decoder.decode
+        act_tokens, mems = dec(prime, mems,
+                               prime_images=prime_img,
+                               deferred_tok=deferred,
+                               defer_last=decoder.defers)
         act_tokens = np.asarray(act_tokens)  # block on device
         if decoder.defers:
-            deferred = act_tokens[:, -decoder.defer_width:] \
-                if decoder.defer_width > 1 else act_tokens[:, -1]
+            w = sess.defer_width if sess is not None else decoder.defer_width
+            deferred = act_tokens[:, -w:] if w > 1 else act_tokens[:, -1]
         dt = time.perf_counter() - t0
-        if getattr(decoder, "speculates", False) and step_i >= args.warmup:
-            # device scalar; fetched in bulk after the loop
+        if (sess is None and getattr(decoder, "speculates", False)
+                and step_i >= args.warmup):
+            # device scalar; fetched in bulk after the loop (the adaptive
+            # session fetches its own rounds jointly with the actions)
             spec_rounds.append(decoder.last_spec_rounds)
         acts = tenvs[0].tok.decode_action_batch(
             act_tokens, tenvs[0].discrete_action)
@@ -539,7 +567,9 @@ def bench_eval(args, geometry=None, tag: str = "") -> None:
     mean_dt = float(np.mean(times))
     actions_per_sec = B / mean_dt
     suffix = ("" if geometry == "mujoco" else f"_{geometry}") + tag
-    if getattr(args, "speculate", False):
+    if getattr(args, "spec_adaptive", False):
+        suffix += "_spec_adaptive"
+    elif getattr(args, "speculate", False):
         suffix += ("_spec_ceiling" if getattr(args, "spec_ceiling", False)
                    else "_spec")
     rec = {
@@ -556,6 +586,13 @@ def bench_eval(args, geometry=None, tag: str = "") -> None:
         # forward/step); action_length-1 = worst case (sequential cost)
         rec["spec_verify_rounds_mean"] = round(
             float(np.mean([int(r) for r in spec_rounds])), 3)
+    if sess is not None:
+        ctl = sess.ctl
+        rec["spec_fraction"] = round(ctl.spec_steps / ctl.total_steps, 3)
+        rec["spec_switches"] = ctl.switches
+        if ctl.rounds_n:
+            rec["spec_verify_rounds_mean"] = round(
+                ctl.rounds_sum / ctl.rounds_n, 3)
     if getattr(args, "speculate", False):
         rec["spec_policy"] = (
             "zeroed(ceiling)" if getattr(args, "spec_ceiling", False)

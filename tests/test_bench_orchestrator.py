@@ -26,7 +26,7 @@ import sys
 BENCH = os.path.join(os.path.dirname(__file__), "..", "bench.py")
 # keep only the cheapest non-headline section (spec) + the headline:
 # smoke sections are small but the full set would add minutes
-SKIP = "pretrain,production,atari,babyai,int8_cache,w8a8"
+SKIP = "pretrain,production,atari,babyai,int8_cache,w8a8,spec_adaptive"
 
 
 def _run(fault: str):

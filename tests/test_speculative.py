@@ -259,3 +259,130 @@ def test_spec_tail_pure_verify_leaves_cache_untouched():
     np.testing.assert_array_equal(np.asarray(cache["k"]),
                                   np.asarray(mems["k"]))
     assert int(cache["cursor"]) == int(mems["cursor"])
+
+
+# ---- adaptive speculation (eval/decode.py SpecController /
+# AdaptiveSpecSession): speculate while the verify-rounds EWMA beats the
+# break-even, fall back to the classic scan otherwise, probe to re-enter.
+# The safety property under test: BOTH paths are exact, so any switching
+# sequence reproduces the sequential greedy actions bit-for-bit.
+
+
+def test_spec_controller_policy():
+    """Pure host-side controller logic: exit on a bad EWMA (after min_obs),
+    probe on the classic cadence, re-enter on a good probe."""
+    from bdm_db1_tpu.eval.decode import SpecController
+
+    c = SpecController(exit_rounds=2.0, reenter_rounds=1.0, probe_every=3,
+                       alpha=1.0, min_obs=2)
+    assert c.decide() is True
+    c.observe(0)
+    assert c.decide() is True
+    c.observe(0)
+    assert c.spec_mode  # low rounds: stays speculative
+    assert c.decide() is True
+    c.observe(5)        # alpha=1: ewma jumps to 5 > 2 -> exit
+    assert not c.spec_mode and c.switches == 1
+    assert c.decide() is False
+    assert c.decide() is False
+    assert c.decide() is True       # probe on the 3rd classic step
+    c.observe(3)                    # probe still bad -> stays classic
+    assert not c.spec_mode
+    assert c.decide() is False
+    assert c.decide() is False
+    assert c.decide() is True       # next probe
+    c.observe(0.5)                  # good -> re-enter
+    assert c.spec_mode and c.switches == 2
+    assert c.decide() is True
+    # one cold-start miss before min_obs never exits
+    c2 = SpecController(exit_rounds=1.0, reenter_rounds=0.5, alpha=1.0,
+                        min_obs=3)
+    c2.decide()
+    c2.observe(5)
+    assert c2.spec_mode
+
+
+def _chain_adaptive(sess, primes):
+    mems = sess.decoder.init_mems(primes[0].shape[0])
+    acts, deferred = [], None
+    for p in primes:
+        a, mems = sess.decode(p, mems, deferred_tok=deferred,
+                              defer_last=True)
+        deferred = np.asarray(a)[..., -sess.defer_width:]
+        acts.append(np.asarray(a))
+    return acts
+
+
+def test_adaptive_session_matches_sequential_across_switches():
+    """A controller forced to flip every couple of steps (exit always,
+    probe every 2, re-enter always) exercises spec->classic,
+    classic->spec and spec->spec deferred-carry transitions; the action
+    stream still equals the classic sequential decoder's exactly."""
+    from bdm_db1_tpu.eval.decode import AdaptiveSpecSession, SpecController
+
+    cfg, model, params, tenvs = _setup(
+        FakeContinuousEnv, 2, obs_dim=4, act_dim=3, episode_len=8)
+    dec = build_decoder_for_env(model, params, tenvs[0])
+    adec = _spec_decoder(cfg, model, params, tenvs[0])
+    S = adec.action_length - 1
+    ctl = SpecController(exit_rounds=-1.0, reenter_rounds=S, probe_every=2,
+                         alpha=1.0, min_obs=1)
+    sess = AdaptiveSpecSession(adec, ctl)
+    primes = _episode_primes(tenvs, 7, 6, 4)
+    ref = _chain(dec, primes, defer=False)
+    got = _chain_adaptive(sess, primes)
+    for k, (a, b) in enumerate(zip(ref, got)):
+        np.testing.assert_array_equal(a, b, err_msg=f"step {k}")
+    assert ctl.switches >= 2, "forced controller must have flipped modes"
+    assert 0 < ctl.spec_steps < ctl.total_steps, \
+        "both paths must have run"
+    assert ctl.rounds_n == ctl.spec_steps  # every spec step was observed
+
+
+def test_adaptive_decoder_flag_and_defaults():
+    """decode_spec_adaptive alone enables the speculative machinery, and
+    the session's default controller scales its thresholds with the
+    action length (break-even ~0.6 * S, PERFORMANCE.md)."""
+    import dataclasses as _dc
+
+    from bdm_db1_tpu.eval.decode import (
+        AdaptiveSpecSession, build_decoder_for_env as _bd,
+    )
+
+    cfg, model, params, tenvs = _setup(
+        FakeContinuousEnv, 1, obs_dim=4, act_dim=4, episode_len=4)
+    acfg = _dc.replace(model.cfg, decode_spec_adaptive=True)
+    amodel = TransformerXL(acfg, cfg.vocab, cfg.vision)
+    adec = _bd(amodel, params, tenvs[0])
+    assert adec.speculates and adec.spec_adaptive
+    sess = AdaptiveSpecSession(adec)
+    S = adec.action_length - 1
+    assert sess.ctl.exit_rounds == 0.6 * S
+    assert sess.ctl.reenter_rounds == 0.5 * S
+
+
+def test_adaptive_cohort_and_episode_match_nonspec():
+    """run_batched_episodes and the single-env run_episode loop with an
+    adaptive decoder (default controller) reproduce the classic decoder's
+    EpisodeResults exactly."""
+    from bdm_db1_tpu.eval.harness import run_episode
+
+    cfg, model, params, tenvs = _setup(
+        FakeContinuousEnv, 3, obs_dim=4, act_dim=3, episode_len=5)
+    dec = build_decoder_for_env(model, params, tenvs[0])
+    ref = run_batched_episodes(tenvs, dec, rng=np.random.RandomState(0))
+    ref1 = run_episode(tenvs[0], dec, use_prompt=True,
+                       rng=np.random.RandomState(3))
+
+    cfg2, model2, params2, tenvs2 = _setup(
+        FakeContinuousEnv, 3, obs_dim=4, act_dim=3, episode_len=5)
+    adec = _spec_decoder(cfg2, model2, params, tenvs2[0],
+                         decode_spec_adaptive=True)
+    assert adec.spec_adaptive
+    got = run_batched_episodes(tenvs2, adec, rng=np.random.RandomState(0))
+    got1 = run_episode(tenvs2[0], adec, use_prompt=True,
+                       rng=np.random.RandomState(3))
+    assert [(r.episode_return, r.episode_length) for r in ref] == \
+        [(g.episode_return, g.episode_length) for g in got]
+    assert (ref1.episode_return, ref1.episode_length) == \
+        (got1.episode_return, got1.episode_length)
