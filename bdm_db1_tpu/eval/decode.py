@@ -648,6 +648,46 @@ class AdaptiveSpecSession:
         # mirror ActionDecoder.decode's single-row squeeze
         return (act[0] if prime_tokens.ndim == 1 else act), mems
 
+    def prewarm(self, prime_tokens, prime_images=None,
+                env_action_mask=None, widths=None) -> None:
+        """Compile every decode program this session can dispatch at the
+        given steady prime geometry — both modes (speculative and the
+        classic per-dim scan) at every deferred lead width a mode switch
+        can produce (1 after a classic step, action_length after a
+        speculative one) — against scratch memory, then discard.
+
+        Serving setups (and bench.py) call this once at startup: without
+        it, the session's FIRST mode switch lands a fresh 1.2B program
+        compile (minutes over the remote-AOT tunnel) in the middle of a
+        live episode — measured as a 47 actions/sec artifact when the
+        switch fell inside bench.py's timed region. Controller and guess
+        state are untouched; only the jit caches warm up.
+
+        Threads ONE scratch cache set through all the programs (the mems
+        carry is donated, so each run reuses the previous run's buffers in
+        place) — at 1.2B / B=40 the ring caches are a large fraction of
+        HBM and a fresh set per program OOMs the chip next to the
+        caller's live caches."""
+        p = np.asarray(prime_tokens)
+        if p.ndim == 1:
+            p = p[None]
+            if prime_images is not None:
+                prime_images = np.asarray(prime_images)[None]
+        B = p.shape[0]
+        A = self.decoder.action_length
+        if widths is None:
+            widths = (1, A)
+        guess = np.full((B, A), self.decoder._default_guess, np.int64)
+        mems = self.decoder.init_mems(B)
+        for spec in (True, False):
+            for w in widths:
+                act, mems = self.decoder.decode_async(
+                    p, mems, prime_images=prime_images,
+                    env_action_mask=env_action_mask,
+                    deferred_tok=guess[:, :w], defer_last=True,
+                    speculate=spec, guess_tok=guess)
+                np.asarray(act)      # block: compile + run to completion
+
 
 def _prime_chunk(model_cfg) -> int:
     """Max tokens per ring prime slice (also bounds q <= mem_len)."""

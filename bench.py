@@ -523,13 +523,30 @@ def bench_eval(args, geometry=None, tag: str = "") -> None:
             prime_imgs.append(np.concatenate([pimg, oimg], axis=0))
     prime = np.stack(primes)
     prime_img = np.stack(prime_imgs) if prime_imgs else None
-    mems = decoder.init_mems(B)
 
     sess = None
     if getattr(decoder, "spec_adaptive", False):
         from bdm_db1_tpu.eval.decode import AdaptiveSpecSession
 
         sess = AdaptiveSpecSession(decoder)
+        # compile both modes x both deferred widths up front AT THE
+        # STEADY GEOMETRY (obs + sep — the loop rebuilds `prime` to that
+        # after step 0; the long prompt prime only ever runs with no
+        # deferred lead): the session's first mode switch otherwise lands
+        # a fresh 1.2B program compile inside the timed region (measured
+        # 47 a/s vs the ~245 steady state when the exit-to-classic switch
+        # hit step 4 with only 3 warmup steps)
+        obs0, oimg0, _ = tenvs[0].reset()
+        steady = np.concatenate(
+            [np.broadcast_to(obs0, (B,) + obs0.shape),
+             np.broadcast_to(sep, (B, 1))], axis=1)
+        steady_img = (None if oimg0 is None
+                      else np.broadcast_to(oimg0[None, :1],
+                                           (B, 1) + oimg0.shape[1:]))
+        sess.prewarm(steady, prime_images=steady_img)
+    # allocate the live caches AFTER prewarm — its scratch set plus this
+    # one don't fit HBM together at the 1.2B headline batch
+    mems = decoder.init_mems(B)
     times = []
     spec_rounds = []
     deferred = None

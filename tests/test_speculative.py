@@ -386,3 +386,37 @@ def test_adaptive_cohort_and_episode_match_nonspec():
         [(g.episode_return, g.episode_length) for g in got]
     assert (ref1.episode_return, ref1.episode_length) == \
         (got1.episode_return, got1.episode_length)
+
+
+def test_adaptive_prewarm_covers_all_switch_programs():
+    """prewarm compiles every (mode, deferred-width) program the adaptive
+    session can dispatch at the steady prime geometry, so live mode
+    switches are jit-cache hits (on the real chip a miss is a multi-minute
+    1.2B compile landing mid-episode) — and it leaves the controller and
+    guess state untouched."""
+    from bdm_db1_tpu.eval.decode import AdaptiveSpecSession
+
+    cfg, model, params, tenvs = _setup(
+        FakeContinuousEnv, 2, obs_dim=4, act_dim=3, episode_len=6)
+    adec = _spec_decoder(cfg, model, params, tenvs[0],
+                         decode_spec_adaptive=True)
+    sess = AdaptiveSpecSession(adec)
+    steady = _episode_primes(tenvs, 11, 2, 4)[1]    # [B, obs+sep]
+    sess.prewarm(steady)
+    assert sess.ctl.total_steps == 0 and sess._guess is None
+    n_spec = adec._jit_decode_spec._cache_size()
+    n_classic = adec._jit_decode._cache_size()
+    assert n_spec >= 1 and n_classic >= 1
+    # every steady-state dispatch the session can make is now a cache hit
+    A = adec.action_length
+    guess = np.full((2, A), adec._default_guess, np.int64)
+    for spec in (True, False):
+        for w in (1, A):
+            mems = adec.init_mems(2)
+            act, _ = adec.decode_async(steady, mems,
+                                       deferred_tok=guess[:, :w],
+                                       defer_last=True, speculate=spec,
+                                       guess_tok=guess)
+            np.asarray(act)
+    assert adec._jit_decode_spec._cache_size() == n_spec
+    assert adec._jit_decode._cache_size() == n_classic
