@@ -62,7 +62,6 @@ def run_episode(
         prime = np.concatenate([obs_tokens, sep])
         prime_img = obs_img
 
-    mems = decoder.init_mems(1)
     episode_return, episode_length = 0.0, 0
     done = False
     defers = bool(getattr(decoder, "defers", False))
@@ -71,7 +70,21 @@ def run_episode(
     # across episodes/cohorts; the mode + guess state must not be)
     sess = (AdaptiveSpecSession(decoder)
             if getattr(decoder, "spec_adaptive", False) else None)
+    if sess is not None and not getattr(decoder, "_spec_prewarmed", False):
+        # compile every (mode, deferred-width) program a mode switch can
+        # dispatch at the steady [obs || sep] geometry BEFORE the live
+        # caches exist (prewarm's scratch set + live set don't fit HBM
+        # together at production batches) — otherwise the first switch
+        # lands a 1.2B remote-AOT compile mid-episode. Once per decoder:
+        # the jit caches are the decoder's, only session state is fresh.
+        sess.prewarm(np.concatenate([obs_tokens, sep])[None],
+                     prime_images=(None if obs_img is None
+                                   else obs_img[None]),
+                     env_action_mask=(None if action_mask is None
+                                      else np.asarray(action_mask)[None]))
+        decoder._spec_prewarmed = True
     dec = sess.decode if sess is not None else decoder.decode
+    mems = decoder.init_mems(1)
 
     while not done:
         act_tokens, mems = dec(
@@ -288,6 +301,23 @@ class _LockstepCohort:
                           if states[0].obs_img is not None else None)
         self.last_masks = (np.stack([s.mask for s in states])
                            if states[0].mask is not None else None)
+        # adaptive speculation: mode/EWMA/guess state is per COHORT (the
+        # decoder is shared by geometry via DecoderPool), and the deferred
+        # width varies per step with the path the session picked
+        self._sess = (AdaptiveSpecSession(decoder)
+                      if getattr(decoder, "spec_adaptive", False) else None)
+        if (self._sess is not None
+                and not getattr(decoder, "_spec_prewarmed", False)):
+            # compile both modes at both deferred widths at the steady
+            # [obs || sep] geometry BEFORE self.mems exists — prewarm's
+            # scratch cache set plus the live set don't fit HBM together
+            # at production cohort batches; without it the cohort's first
+            # mode switch lands a 1.2B remote-AOT compile mid-episode.
+            # Once per decoder: jit caches belong to the decoder.
+            self._sess.prewarm(self.last_tokens,
+                               prime_images=self.last_imgs,
+                               env_action_mask=self.last_masks)
+            decoder._spec_prewarmed = True
         self.mems = decoder.init_mems(b)
         self.returns = np.zeros(b)
         self.lengths = np.zeros(b, dtype=np.int64)
@@ -304,11 +334,6 @@ class _LockstepCohort:
         # as next step's guesses); classic deferral carries the last token
         self._defer_width = int(getattr(decoder, "defer_width", 1))
         self._deferred = None
-        # adaptive speculation: mode/EWMA/guess state is per COHORT (the
-        # decoder is shared by geometry via DecoderPool), and the deferred
-        # width varies per step with the path the session picked
-        self._sess = (AdaptiveSpecSession(decoder)
-                      if getattr(decoder, "spec_adaptive", False) else None)
 
     def dispatch(self) -> None:
         dec = (self._sess.decode_async if self._sess is not None
