@@ -61,6 +61,22 @@ NEG_INF = -1e30
 DEFAULT_BLOCK_M = 512
 
 
+def rep_rows_mask(bm: int, n_head: int, n_q: int) -> "jnp.ndarray":
+    """[bm*H, Q*H] f32 additive head mask from a tiny [H, Q*H] tile:
+    0.0 where the column's query-head (col % H, (q, h) column order)
+    equals the row's key-head, NEG_INF elsewhere. The pattern is
+    period-H constant over the key positions, so it broadcasts over a
+    new leading bm dim + leading-dim merge (layout-free) instead of
+    being rebuilt by iota/mod/compare/select passes over the full
+    [bm*H, Q*H] score matrix on every grid step."""
+    qh = n_q * n_head
+    h_r = jax.lax.broadcasted_iota(jnp.int32, (n_head, qh), 0)
+    h_q = jax.lax.broadcasted_iota(jnp.int32, (n_head, qh), 1) % n_head
+    tile = jnp.where(h_r == h_q, 0.0, NEG_INF).astype(jnp.float32)
+    return jnp.broadcast_to(
+        tile[None], (bm, n_head, qh)).reshape(bm * n_head, qh)
+
+
 def flash_ring_applicable(mem_len: int, n_head: int, d_head: int,
                           block_m: int = DEFAULT_BLOCK_M) -> bool:
     """Real-chip lowering constraints; anything else falls back to XLA."""
@@ -107,9 +123,16 @@ def _decode_core(k_ref, v_ref, qwt_ref, bias_ref, ks_ref, vs_ref,
     if quantized:
         # on the surviving diagonal h_q == h_r, so this IS the row scale
         s_all = s_all * rep(ks_ref[0, 0])
-    r_head = jax.lax.broadcasted_iota(jnp.int32, (rows, n_head), 0) % n_head
-    g_head = jax.lax.broadcasted_iota(jnp.int32, (rows, n_head), 1)
-    s_m = jnp.where(r_head == g_head, s_all + bias_rep, NEG_INF)
+    # additive off-diagonal mask, broadcast from an [H, H] tile: the
+    # (key-head != query-head) pattern is period-H constant, so building
+    # it full-size from two iota/mod/compare/select passes over the
+    # [rows, H] f32 matrix every grid step is pure VPU waste. Adding
+    # NEG_INF instead of where-selecting it is output-equal: valid
+    # entries gain exactly 0.0, junk lands ~-1e30 and underflows the
+    # softmax exp to exactly 0 whenever its block has any live key row
+    # (an all-banned block is killed by the wrapper's w = 0 merge in
+    # both formulations).
+    s_m = s_all + bias_rep + rep_rows_mask(bm, n_head, 1)
 
     # column softmax over all bm*H rows == per-head softmax over its bm
     # keys: off-diagonal rows sit at -inf and get exactly zero weight
@@ -383,11 +406,15 @@ def _prime_ap_core(k_ref, v_ref, qwt_ref, bias_ref, ks_ref, vs_ref,
     if quantized:
         # K dequant scale per key row: on the surviving diagonal the
         # column's query-head equals the row head, so rep_q IS the row
-        # scale there (junk elsewhere is masked to -inf below)
+        # scale there (junk elsewhere is masked off below)
         s_all = s_all * rep_q(ks_ref[0, 0])
-    r_head = jax.lax.broadcasted_iota(jnp.int32, (rows, qh), 0) % n_head
-    g_head = jax.lax.broadcasted_iota(jnp.int32, (rows, qh), 1) % n_head
-    s_m = jnp.where(r_head == g_head, s_all + bias_rep, NEG_INF)
+    # additive off-diagonal mask from an [H, Q*H] tile (see
+    # rep_rows_mask): replaces two full-matrix iota/mod passes, a
+    # compare and a select over the [bm*H, Q*H] f32 scores — the widest
+    # VPU object in the kernel — with one add; output-equal (valid
+    # entries + 0.0, junk underflows exp to exactly 0, all-banned
+    # blocks die in the wrapper's w = 0 merge either way)
+    s_m = s_all + bias_rep + rep_rows_mask(bm, n_head, n_q)
 
     m_blk = jnp.max(s_m, axis=0, keepdims=True)           # [1, QH]
     p = jnp.exp(s_m - m_blk)
