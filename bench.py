@@ -3,27 +3,29 @@
 Bare ``python bench.py`` emits one JSON line per metric
 {"metric", "value", "unit", "vs_baseline", ...}:
 
-  1. pretrain tokens/sec/chip with analytic-FLOPs MFU (train step:
+  1. RL-eval decode actions/sec, proprioceptive geometry, exact bf16
+     cache — THE HEADLINE. It runs FIRST and its line is re-emitted
+     after every later section, so the final metric line on stdout is
+     always the headline no matter where an outer driver timeout lands
+     (r3/r4 both lost the headline to kills near the end of the run),
+  2. pretrain tokens/sec/chip with analytic-FLOPs MFU (train step:
      fwd+bwd+AdamW, Pallas attention, remat, bf16),
-  2. production-path RL eval actions/sec (end-to-end
+  3. production-path RL eval actions/sec (end-to-end
      evaluate_envs_lockstep wall clock — the number the CLI delivers),
-  3. image-geometry (atari) RL eval actions/sec,
-  4. text-geometry (babyai) RL eval actions/sec (instruction tokens +
+  4. image-geometry (atari) RL eval actions/sec,
+  5. text-geometry (babyai) RL eval actions/sec (instruction tokens +
      image obs, discrete actions),
-  5. int8-cache RL eval actions/sec (the largest-batch operating point;
+  6. int8-cache RL eval actions/sec (the largest-batch operating point;
      tolerance path, in-kernel dequant),
-  6. W8A8-decode-weights actions/sec (per-row activation quant +
+  7. W8A8-decode-weights actions/sec (per-row activation quant +
      MXU-native int8 dot — the quantization that beats bf16 at the
      flagship batch; tolerance path),
-  7. speculative-decode actions/sec with a BC-smoothed policy
+  8. speculative-decode actions/sec with a BC-smoothed policy
      (spec_verify_rounds_mean strictly between the all-accepted and
      all-rejected endpoints),
-  8. ADAPTIVE speculation at the adverse endpoint (random weights, every
+  9. ADAPTIVE speculation at the adverse endpoint (random weights, every
      guess rejected): the SpecController exits to the classic path and
-     recovers most of the 22% the bare flag loses there,
-  9. RL-eval decode actions/sec, proprioceptive geometry, exact bf16
-     cache (the headline metric, printed LAST so drivers that parse the
-     final line keep it as the headline).
+     recovers most of the 22% the bare flag loses there.
 
 Each metric runs in its OWN SUBPROCESS: a single config that crashes the
 chip (r3: the int8 pass died with a TPU INTERNAL error and took the bf16
@@ -106,8 +108,9 @@ def main() -> None:
                     help="eval: RL actions/sec (device-only loop); train: "
                          "pretrain tokens/sec/chip + MFU; production: "
                          "end-to-end evaluate_envs_lockstep wall clock; "
-                         "both (default): train line, production line, "
-                         "then the eval headline line last")
+                         "both (default): orchestrate all sections — "
+                         "headline first, re-emitted after each section "
+                         "so it is always the final metric line")
     ap.add_argument("--geometry", choices=["mujoco", "atari", "babyai"],
                     default="mujoco",
                     help="eval env geometry: mujoco = HalfCheetah (obs 17 "
@@ -186,10 +189,11 @@ def main() -> None:
                     help="suffix appended to the eval metric name (the "
                          "orchestrator passes _int8 for the int8-cache "
                          "section)")
-    ap.add_argument("--section-timeout", type=int, default=3600,
+    ap.add_argument("--section-timeout", type=int, default=1800,
                     help="orchestrator mode: per-metric subprocess timeout "
                          "(first 1.2B compiles take 10-15 min through the "
-                         "remote AOT helper)")
+                         "remote AOT helper; r4 section wall clocks all "
+                         "fit well under 30 min)")
     ap.add_argument("--skip", default="",
                     help="orchestrator mode: comma-separated section names "
                          "to skip (pretrain,production,atari,babyai,"
@@ -200,12 +204,16 @@ def main() -> None:
     # so tests/test_bench_orchestrator.py can prove a crashing section
     # yields an {"metric", "error"} line without blanking the headline
     # (the r3 failure mode, BENCH_r03.json rc=1)
-    ap.add_argument("--total-budget", type=int, default=9000,
+    ap.add_argument("--total-budget", type=int, default=6600,
                     help="orchestrator mode: once this many seconds have "
-                         "elapsed, remaining NON-headline sections are "
-                         "skipped (with an explanatory line) so the "
-                         "headline always gets a chance to run before any "
-                         "outer driver timeout")
+                         "elapsed, remaining sections are skipped (with an "
+                         "explanatory line). The headline runs FIRST and is "
+                         "re-emitted after every section, so an outer "
+                         "driver kill at ANY point after the first section "
+                         "still leaves the headline as the final parsed "
+                         "line (r4: rc=124 killed the then-last headline "
+                         "section; the budget could not defend against an "
+                         "outer timeout it never knew)")
     args = ap.parse_args()
 
     if args.fault_inject:
@@ -228,8 +236,14 @@ def orchestrate(args) -> None:
     their JSON lines in order, and convert failures into
     {"metric", "error"} lines instead of letting one bad config kill the
     later sections (BENCH_r03.json: the int8 pass crashed the chip and the
-    bf16 headline was never emitted). The headline runs LAST so drivers
-    that parse the final line keep it; exit status reflects the headline
+    bf16 headline was never emitted).
+
+    The headline runs FIRST and its captured line is RE-EMITTED after
+    every subsequent section, so the final metric line on stdout is the
+    headline at every instant after the first section completes — an
+    outer driver timeout (BENCH_r04.json rc=124 killed the then-last
+    headline section) can no longer remove the flagship number from the
+    artifact, whatever its limit is. Exit status reflects the headline
     only."""
     import subprocess
 
@@ -249,8 +263,15 @@ def orchestrate(args) -> None:
     if args.no_dropout:
         train_flags.append("--no-dropout")
 
-    # (name, argv, fallback-metric-name-for-the-error-line)
+    # (name, argv, fallback-metric-name-for-the-error-line).
+    # The HEADLINE is first (see docstring); the rest are ordered by how
+    # much the round artifact needs them (r4 wall clocks, measured from
+    # the driver tail: each section fits inside --section-timeout).
     sections = [
+        ("headline",
+         ["--mode", "eval"]
+         + (["--batch", str(args.batch)] if args.batch is not None else []),
+         "rl_eval_actions_per_sec_1p2b"),
         ("pretrain", ["--mode", "train"] + train_flags,
          "pretrain_tokens_per_sec_per_chip_1p2b"),
         ("production", ["--mode", "production"],
@@ -287,17 +308,15 @@ def orchestrate(args) -> None:
         # speculation is safe to leave on
         ("spec_adaptive", ["--mode", "eval", "--spec-adaptive"],
          "rl_eval_actions_per_sec_1p2b_spec_adaptive"),
-        ("headline",
-         ["--mode", "eval"]
-         + (["--batch", str(args.batch)] if args.batch is not None else []),
-         "rl_eval_actions_per_sec_1p2b"),
     ]
     import os
 
     skip = {s for s in args.skip.split(",") if s}
     fault = os.environ.get("BENCH_FAULT_INJECT", "")
     headline_ok = False
+    headline_line = None  # re-emitted after every later section
     t_start = time.time()
+    durations = {}
     for name, argv, fallback in sections:
         if name in skip:
             continue
@@ -307,10 +326,13 @@ def orchestrate(args) -> None:
             print(json.dumps({
                 "metric": fallback,
                 "error": f"skipped: orchestrator budget "
-                f"({args.total_budget}s) exhausted; headline still runs",
+                f"({args.total_budget}s) exhausted",
             }), flush=True)
+            if headline_line is not None:
+                print(headline_line, flush=True)
             continue
         emitted = False
+        t_sec = time.time()
         # one retry per section: the remote-compile tunnel occasionally
         # drops a response mid-body (observed r4: "response body closed
         # before all bytes were read") — a transient that must not blank
@@ -347,8 +369,15 @@ def orchestrate(args) -> None:
             if attempt == 1 or time.time() - t_start > args.total_budget:
                 print(json.dumps(err), flush=True)
                 break
+        durations[name] = round(time.time() - t_sec, 1)
         if name == "headline":
             headline_ok = emitted
+            headline_line = (lines[-1] if emitted else json.dumps(err))
+        elif headline_line is not None:
+            # keep the headline as the final metric line on stdout at all
+            # times — a kill during ANY later section leaves it last
+            print(headline_line, flush=True)
+    print(f"[bench] section wall clocks (s): {durations}", file=sys.stderr)
     sys.exit(0 if headline_ok else 1)
 
 

@@ -29,11 +29,11 @@ BENCH = os.path.join(os.path.dirname(__file__), "..", "bench.py")
 SKIP = "pretrain,production,atari,babyai,int8_cache,w8a8,spec_adaptive"
 
 
-def _run(fault: str):
+def _run(fault: str, extra=()):
     env = dict(os.environ, BENCH_FAULT_INJECT=fault,
                JAX_PLATFORMS="cpu")
     proc = subprocess.run(
-        [sys.executable, BENCH, "--smoke", "--skip", SKIP],
+        [sys.executable, BENCH, "--smoke", "--skip", SKIP] + list(extra),
         capture_output=True, text=True, timeout=900, env=env)
     lines = []
     for line in proc.stdout.splitlines():
@@ -65,3 +65,17 @@ def test_headline_crash_fails_the_run():
     # the spec section still emitted its real line first
     assert "error" not in by_metric["rl_eval_actions_per_sec_smoke_spec"]
     assert "error" in lines[-1]
+
+
+def test_budget_exhaustion_keeps_headline_last():
+    """r4 regression (BENCH_r04.json rc=124): the headline now runs FIRST
+    — a zero budget skips every other section but the final metric line
+    is still the real headline and the run exits 0."""
+    rc, lines = _run(fault="", extra=["--total-budget", "0"])
+    assert rc == 0
+    by_metric = {rec["metric"]: rec for rec in lines}
+    spec = by_metric["rl_eval_actions_per_sec_1p2b_spec"]
+    assert "error" in spec and "budget" in spec["error"]
+    headline = by_metric["rl_eval_actions_per_sec_smoke"]
+    assert "error" not in headline and headline["value"] > 0
+    assert lines[-1]["metric"] == "rl_eval_actions_per_sec_smoke"
