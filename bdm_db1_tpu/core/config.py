@@ -272,6 +272,16 @@ class EvalConfig:
     # Requires model.decode_flash="off" (the fused single-chip ring
     # kernels don't partition under pjit).
     sharded_decode: bool = False
+    # geometry-bucket coarsening for suite-scale serving: pad steady
+    # primes (and chunked primes' last slices) to canonical widths with
+    # query-only rows so the 870-env suite needs O(#buckets x
+    # #action-lengths) compiled decode programs instead of one per obs
+    # length (~60; each is a 10-15 min remote-AOT compile at 1.2B).
+    # EXACT — padded greedy actions equal unpadded
+    # (tests/test_geometry_buckets.py); census + counts:
+    # bdm_db1_tpu/eval/geometry_census.py. Speculative decoders keep
+    # exact widths (the guess tail uses the same trailing-row slot).
+    decode_obs_buckets: bool = True
 
 
 @dataclass

@@ -94,6 +94,69 @@ def _fold_mask_dev(base_bias, mask, lo: int):
     return base_bias.at[:, lo:lo + n].add(-extra)
 
 
+DEFAULT_OBS_BUCKETS = (8, 16, 24, 32, 48, 64, 96, 128, 192, 256)
+
+
+def _bucket_for(width: int, buckets) -> Optional[int]:
+    """Smallest canonical bucket >= width (None: beyond the ladder —
+    the call keeps its exact width and compiles per width)."""
+    for b in buckets:
+        if b >= width:
+            return b
+    return None
+
+
+class SharedDecodePrograms:
+    """Compiled decode programs + device-resident positional projections,
+    shared across the :class:`ActionDecoder` instances of one
+    :class:`DecoderPool`.
+
+    A decoder is cheap Python state per env geometry; what costs 10-15
+    min per shape at 1.2B (remote AOT) is the jitted step program, and
+    what costs ~200 MB HBM per prime length is the precomputed ``r_net``
+    projection. Both are functions of (model, action_length, padded
+    prime widths) only — NOT of the env's obs length once geometry
+    bucketing pads primes to canonical widths — so pooling them here is
+    what turns the 870-env suite's geometry spread into O(#buckets x
+    #action-lengths) compiles (SURVEY.md §7 hard part 5; reference
+    compiles nothing but pays a host round trip per token instead,
+    src/evaluation/evaluate_rl.py:177-258)."""
+
+    def __init__(self, model: TransformerXL):
+        self.model = model
+        self._jit = {}
+        self.rk_cache = _LRU(8)
+        self._jit_rk = jax.jit(
+            lambda v, q: model.apply(v, q,
+                                     method=TransformerXL.precompute_rk),
+            static_argnums=(1,))
+
+    def jit_decode(self, action_length: int, use_kv_cache: bool):
+        key = ("classic", action_length, use_kv_cache)
+        if key not in self._jit:
+            self._jit[key] = jax.jit(
+                partial(_decode_step, self.model, action_length,
+                        use_kv_cache),
+                donate_argnums=(3,),
+                # frame_splits, defer_last
+                static_argnums=(8, 9))
+        return self._jit[key]
+
+    def jit_decode_spec(self, action_length: int):
+        key = ("spec", action_length)
+        if key not in self._jit:
+            self._jit[key] = jax.jit(
+                partial(_decode_step_spec, self.model, action_length),
+                donate_argnums=(3,),
+                # frame_splits, tail, defer_last
+                static_argnums=(9, 11, 12))
+        return self._jit[key]
+
+    def rk_for(self, params, qlen: int):
+        return self.rk_cache.get(
+            qlen, lambda: self._jit_rk({"params": params}, qlen))
+
+
 class ActionDecoder:
     """Per-environment-geometry greedy decoder (jit cache per prime qlen)."""
 
@@ -107,6 +170,8 @@ class ActionDecoder:
         discrete_action: bool,
         num_actions: Optional[int] = None,
         mesh=None,
+        shared: Optional[SharedDecodePrograms] = None,
+        pad_buckets=None,
     ):
         self.model = model
         self.params = params
@@ -128,7 +193,8 @@ class ActionDecoder:
         # kernels' lowering constraints, else _use_flash_decode gates back
         # to the XLA ring branch.
         self.mesh = mesh
-        if mesh is not None and model.cfg.decode_flash != "off":
+        if (mesh is not None and model.cfg.decode_flash != "off"
+                and getattr(model, "decode_mesh", None) is not mesh):
             model = model.clone(decode_mesh=mesh)
             self.model = model
         self.obs_length = int(obs_length)
@@ -175,34 +241,33 @@ class ActionDecoder:
         # how many trailing action tokens of a decode the caller must carry
         # into the next call's deferred_tok (1 = classic defer_last)
         self.defer_width = self.action_length if self.speculates else 1
+        # geometry-bucket coarsening (classic ring path only; spec tails
+        # and bucket pads both ride as query-only trailing tokens and are
+        # mutually exclusive — a speculative decoder keeps exact widths):
+        # primes pad up to canonical widths so different obs lengths share
+        # one compiled program per bucket (SURVEY.md §7 hard part 5)
+        if pad_buckets == "default":
+            pad_buckets = DEFAULT_OBS_BUCKETS
+        self.pad_buckets = (tuple(sorted(pad_buckets)) if pad_buckets
+                            and not self.speculates
+                            and self.use_kv_cache
+                            and self.model.cfg.same_length else None)
+        # compiled programs + rk projections shared across the pool's
+        # decoders (10-15 min AOT compile / ~200 MB HBM per prime width
+        # at 1.2B; donate the memory/cache carry — without it every step
+        # copies the whole [n_layer, B, mem_len, ...] cache)
+        self._shared = shared if shared is not None \
+            else SharedDecodePrograms(self.model)
         if self.speculates:
             # cold-start guess (episode's first step): the mid-range
             # continuous bin (~action 0.0); wrong guesses only cost verify
             # rounds, never correctness
             self._default_guess = int(
                 layout.continuous_offset + layout.num_continuous_bin // 2)
-            self._jit_decode_spec = jax.jit(
-                partial(_decode_step_spec, model, self.action_length),
-                donate_argnums=(3,),
-                # frame_splits, tail, defer_last
-                static_argnums=(9, 11, 12),
-            )
-        # donate the memory/cache carry: without this every step copies the
-        # whole [n_layer, B, mem_len, ...] cache (3.2GB at 1.2B, batch 16)
-        self._jit_decode = jax.jit(
-            partial(_decode_step, model, self.action_length,
-                    self.use_kv_cache),
-            donate_argnums=(3,),
-            # frame_splits: per-slice image counts; defer_last: scan length
-            static_argnums=(8, 9),
-        )
-        # r_net(r) is input-independent: precompute per decode geometry
-        # (one [n_layer, klen, H, Dh] tensor per qlen) and reuse every step.
-        # Bounded LRUs: rk entries are ~200 MB each at 1.2B (r2 advisor)
-        self._rk_cache = _LRU(8)
-        self._jit_rk = jax.jit(
-            lambda v, q: model.apply(v, q, method=TransformerXL.precompute_rk),
-            static_argnums=(1,))
+            self._jit_decode_spec = self._shared.jit_decode_spec(
+                self.action_length)
+        self._jit_decode = self._shared.jit_decode(
+            self.action_length, self.use_kv_cache)
         # maskless (continuous-action) steps reuse one device-resident
         # [B, V] bias instead of re-uploading ~2 MB per step; position ids
         # are pure functions of the prime length — cache both
@@ -230,8 +295,7 @@ class ActionDecoder:
     def _rk_for(self, qlen: int):
         if not self.use_kv_cache:
             return None
-        return self._rk_cache.get(
-            qlen, lambda: self._jit_rk({"params": self.params}, qlen))
+        return self._shared.rk_for(self.params, qlen)
 
     def init_mems(self, batch_size: int = 1):
         if self.use_kv_cache:
@@ -336,19 +400,88 @@ class ActionDecoder:
             lead = dt.shape[1]
         b, q = prime_tokens.shape
 
+        # long primes run through the ring in <=_PRIME_CHUNK slices: the
+        # fp32 [B, H, q, M+q] score buffers of a ~1000-token expert-prompt
+        # prime are what exceed HBM at large batch (4.2 GB per layer at
+        # 1.2B batch 32), not the cache. Image primes chunk at TRANSITION
+        # boundaries (each transition carries a fixed image-slot count for
+        # a fixed env geometry, so the per-slice frame split is static —
+        # r2 VERDICT next #2 lifted the old no-image restriction); primes
+        # that don't align to transition boundaries fall back to one-shot.
+        # chunking is only exact under same_length (every query sees
+        # exactly mem_len keys, so consecutive ring calls attend the same
+        # set as one call); plain-causal configs attend the full in-call
+        # prefix and must prime one-shot (verified numerically: bit-equal
+        # with same_length, ~4e-4 logit drift without)
+        chunk = _prime_chunk(self.model.cfg)
+        M = self.model.cfg.mem_len
+        n_frames = (int(prime_images.shape[1])
+                    if prime_images is not None else None)
+        sizes = frame_splits = None
+        if (self.use_kv_cache and q > chunk
+                and self.model.cfg.same_length):
+            # the chunk plan describes the prime proper; a deferred lead
+            # token rides in the first slice (it is not a -1 slot, so the
+            # frame splits are untouched)
+            qp = q - lead
+            if prime_images is None:
+                sizes = [chunk] * (qp // chunk)
+                if qp % chunk:
+                    sizes.append(qp % chunk)
+            else:
+                plan = self._image_chunk_plan(qp, n_frames)
+                if plan is not None:
+                    sizes, frame_splits = plan
+            if sizes is not None and lead:
+                if sizes[0] + lead <= chunk:
+                    sizes[0] += lead
+                else:
+                    # first slice already at the chunk budget (== mem_len
+                    # on small configs): the lead token gets its own
+                    # 1-token slice — exactly the old fold forward, still
+                    # one program
+                    sizes.insert(0, lead)
+                    if frame_splits is not None:
+                        frame_splits = (0,) + tuple(frame_splits)
+        spec_now = self.speculates if speculate is None \
+            else (bool(speculate) and self.speculates)
+        # geometry-bucket padding (classic ring path): pad the single-slice
+        # prime — or the chunked prime's last slice — up to a canonical
+        # width with query-only rows (real_q operand, decode_rl_kv_ring),
+        # so envs with different obs lengths share one compiled program
+        # and one rk projection per bucket (SURVEY.md §7 hard part 5).
+        # Exact vs unpadded: tests/test_geometry_buckets.py.
+        pad_n, real_last = 0, None
+        if self.pad_buckets is not None and not spec_now:
+            cap = min(chunk, M)
+            if sizes is None and q <= M:
+                W = _bucket_for(q, self.pad_buckets)
+                if W is not None and q < W <= cap:
+                    pad_n, real_last = W - q, q
+            elif sizes is not None:
+                t = sizes[-1]
+                W = _bucket_for(t, self.pad_buckets)
+                if W is not None and t < W <= cap:
+                    pad_n, real_last = W - t, t
+                    sizes = sizes[:-1] + [W]
+        if pad_n:
+            prime_tokens = np.pad(prime_tokens, ((0, 0), (0, pad_n)))
+
         def _make_pos():
             _, p = action_flags_and_position_ids(
                 q - lead, self.obs_length, self.action_length, 0)
             if lead:  # deferred action tokens carry the action slot id 0
                 p = np.concatenate([np.zeros(lead, p.dtype), p])
+            if pad_n:  # bucket pads are query-only; any id works
+                p = np.concatenate([p, np.zeros(pad_n, p.dtype)])
             # device-resident: position ids are a pure function of the
             # prime geometry, and re-uploading them each step costs a
             # tunnel round trip (~27 ms) in remote-TPU setups
             return self._dev(
-                np.broadcast_to(p.astype(np.int32)[None], (b, q)),
+                np.broadcast_to(p.astype(np.int32)[None], (b, q + pad_n)),
                 "data", None)
 
-        pos = self._pos_cache.get((b, q, lead), _make_pos)
+        pos = self._pos_cache.get((b, q, lead, pad_n), _make_pos)
         bias_dev = self._bias_dev_cache.get(b, lambda: self._dev(
             np.broadcast_to(self._base_bias,
                             (b,) + self._base_bias.shape), "data", None))
@@ -365,58 +498,17 @@ class ActionDecoder:
         tokens = self._dev(prime_tokens.astype(np.int32), "data", None)
         images = (self._dev(np.asarray(prime_images, np.float32), "data")
                   if prime_images is not None else None)
-        # long primes run through the ring in <=_PRIME_CHUNK slices: the
-        # fp32 [B, H, q, M+q] score buffers of a ~1000-token expert-prompt
-        # prime are what exceed HBM at large batch (4.2 GB per layer at
-        # 1.2B batch 32), not the cache. Image primes chunk at TRANSITION
-        # boundaries (each transition carries a fixed image-slot count for
-        # a fixed env geometry, so the per-slice frame split is static —
-        # r2 VERDICT next #2 lifted the old no-image restriction); primes
-        # that don't align to transition boundaries fall back to one-shot.
-        # chunking is only exact under same_length (every query sees
-        # exactly mem_len keys, so consecutive ring calls attend the same
-        # set as one call); plain-causal configs attend the full in-call
-        # prefix and must prime one-shot (verified numerically: bit-equal
-        # with same_length, ~4e-4 logit drift without)
-        chunk = _prime_chunk(self.model.cfg)
-        sizes = frame_splits = None
-        if (self.use_kv_cache and q > chunk
-                and self.model.cfg.same_length):
-            # the chunk plan describes the prime proper; a deferred lead
-            # token rides in the first slice (it is not a -1 slot, so the
-            # frame splits are untouched)
-            qp = q - lead
-            if images is None:
-                sizes = [chunk] * (qp // chunk)
-                if qp % chunk:
-                    sizes.append(qp % chunk)
-            else:
-                plan = self._image_chunk_plan(qp, int(images.shape[1]))
-                if plan is not None:
-                    sizes, frame_splits = plan
-            if sizes is not None and lead:
-                if sizes[0] + lead <= chunk:
-                    sizes[0] += lead
-                else:
-                    # first slice already at the chunk budget (== mem_len
-                    # on small configs): the lead token gets its own
-                    # 1-token slice — exactly the old fold forward, still
-                    # one program
-                    sizes.insert(0, lead)
-                    if frame_splits is not None:
-                        frame_splits = (0,) + tuple(frame_splits)
-        spec_now = self.speculates if speculate is None \
-            else (bool(speculate) and self.speculates)
         if spec_now:
             return self._dispatch_spec(tokens, pos, mems, bias_dev, images,
                                        sizes, frame_splits, q, deferred,
                                        defer_last, guess_tok)
         rk_chunks = (tuple(self._rk_for(s) for s in sizes)
-                     if sizes is not None else (self._rk_for(q),))
+                     if sizes is not None else (self._rk_for(q + pad_n),))
         act_tokens, new_mems = self._jit_decode(
             {"params": self.params}, tokens, pos, mems,
             bias_dev, images, rk_chunks, self._rk_for(1), frame_splits,
-            defer_last)
+            defer_last,
+            None if real_last is None else np.int32(real_last))
         return act_tokens, new_mems
 
     def _dispatch_spec(self, tokens, pos, mems, bias_dev, images, sizes,
@@ -616,6 +708,9 @@ class AdaptiveSpecSession:
         self.defer_width = decoder.action_length
         self._guess = None           # previous action block [B, A] (host)
         self._rounds_dev = None      # unfetched device scalar
+        reg = getattr(decoder, "spec_sessions", None)
+        if reg is not None:          # opt-in registry (DecoderPool)
+            reg.append(self)
 
     def decode_async(self, prime_tokens, mems, **kw):
         spec = self.ctl.decide()
@@ -696,7 +791,7 @@ def _prime_chunk(model_cfg) -> int:
 
 def _decode_step(model, action_length, use_kv_cache, variables, tokens, pos,
                  mems, bias, images, rk_chunks=None, rk_step=None,
-                 frame_splits=None, defer_last=False):
+                 frame_splits=None, defer_last=False, real_q=None):
     """prime forward + scan over action dims, entirely on device.
 
     tokens/pos: [B, q]; bias: [B, V]; returns ([B, action_length], mems).
@@ -712,12 +807,20 @@ def _decode_step(model, action_length, use_kv_cache, variables, tokens, pos,
     sliced at transition boundaries with ``frame_splits`` static frames
     per slice (ActionDecoder._image_chunk_plan). Plain-causal or
     non-boundary-aligned primes arrive with a single rk entry and take the
-    one-shot paths."""
+    one-shot paths.
+
+    ``real_q`` (dynamic int32 scalar) marks geometry-bucket padding: the
+    LAST slice (or the single-slice prime) carries ``last_size - real_q``
+    trailing pad tokens that are query-only — decode_rl_kv_ring reads the
+    first-action logits at the real last token and commits real rows
+    only, so envs whose obs length differs share one compiled program per
+    bucket width (eval/decode.py ActionDecoder pad_buckets)."""
     b, q = tokens.shape
     if use_kv_cache:
         if len(rk_chunks) > 1:          # chunked prime (image or not)
             logits = None
             start = f0 = 0
+            last = len(rk_chunks) - 1
             for ci, rk_c in enumerate(rk_chunks):  # static unroll
                 size = rk_c.shape[1] - model.cfg.mem_len
                 img_c = None
@@ -732,11 +835,13 @@ def _decode_step(model, action_length, use_kv_cache, variables, tokens, pos,
                     jax.lax.slice_in_dim(tokens, start, start + size, axis=1),
                     jax.lax.slice_in_dim(pos, start, start + size, axis=1),
                     mems, rk_c, img_c,
+                    real_q=(real_q if ci == last else None),
                     method=TransformerXL.decode_rl_kv_ring)
                 start += size
         elif q <= model.cfg.mem_len:
             logits, mems = model.apply(
                 variables, tokens, pos, mems, rk_chunks[0], images,
+                real_q=real_q,
                 method=TransformerXL.decode_rl_kv_ring)
         else:
             # an image prime longer than the window that does NOT align to
@@ -952,7 +1057,14 @@ class DecoderPool:
     geometries, so this caps recompiles at the number of distinct shapes
     (SURVEY.md §7 hard part 5)."""
 
-    def __init__(self, model, params, mesh=None):
+    def __init__(self, model, params, mesh=None,
+                 track_spec_sessions: bool = False, pad_buckets=None):
+        # hoist the mesh clone out of ActionDecoder so every decoder (and
+        # the shared program cache) binds ONE model instance — program
+        # sharing is keyed by function identity
+        if (mesh is not None and model.cfg.decode_flash != "off"
+                and getattr(model, "decode_mesh", None) is not mesh):
+            model = model.clone(decode_mesh=mesh)
         self.model = model
         self.mesh = mesh
         params = _maybe_quantize_weights(model, params)
@@ -960,6 +1072,19 @@ class DecoderPool:
             params = shard_decode_params(params, mesh)
         self.params = params
         self._cache = {}
+        # compiled decode programs + rk projections shared across all of
+        # this pool's decoders; with pad_buckets ("default" or a width
+        # ladder) primes pad to canonical widths, so the whole 870-env
+        # suite needs O(#buckets x #action-lengths) compiled programs
+        # instead of one per obs length (SURVEY.md §7 hard part 5)
+        self.shared = SharedDecodePrograms(model)
+        self.pad_buckets = pad_buckets
+        # opt-in diagnostics: when on, every AdaptiveSpecSession created
+        # against this pool's decoders registers here, so a driver can
+        # aggregate spec_fraction/rounds across cohorts (bench.py
+        # production lines). Off by default — a long-lived server would
+        # accumulate one small session record per episode.
+        self.spec_sessions = [] if track_spec_sessions else None
 
     def get(self, tokenized_env) -> "ActionDecoder":
         from bdm_db1_tpu.eval.harness import decode_geometry
@@ -968,7 +1093,10 @@ class DecoderPool:
         if key not in self._cache:
             self._cache[key] = build_decoder_for_env(
                 self.model, self.params, tokenized_env, mesh=self.mesh,
-                _params_placed=True)
+                _params_placed=True, shared=self.shared,
+                pad_buckets=self.pad_buckets)
+            if self.spec_sessions is not None:
+                self._cache[key].spec_sessions = self.spec_sessions
         return self._cache[key]
 
 
@@ -1096,7 +1224,8 @@ def _maybe_quantize_weights(model, params):
 
 
 def build_decoder_for_env(model, params, tokenized_env, mesh=None,
-                          _params_placed=False) -> ActionDecoder:
+                          _params_placed=False, shared=None,
+                          pad_buckets=None) -> ActionDecoder:
     from bdm_db1_tpu.eval.envs import is_discrete_space
 
     if not _params_placed:
@@ -1112,4 +1241,6 @@ def build_decoder_for_env(model, params, tokenized_env, mesh=None,
         discrete_action=discrete,
         num_actions=tokenized_env.action_space.n if discrete else None,
         mesh=mesh,
+        shared=shared,
+        pad_buckets=pad_buckets,
     )

@@ -127,7 +127,9 @@ def main(cfg: Optional[DB1Config] = None) -> List[dict]:
 
         mesh = make_mesh(cfg.mesh)
         print_rank_0(f"sharded decode over mesh {dict(mesh.shape)}")
-    pool = DecoderPool(model, params, mesh=mesh)
+    pool = DecoderPool(
+        model, params, mesh=mesh,
+        pad_buckets="default" if cfg.eval.decode_obs_buckets else None)
     results = []
     out_path = None
     if cfg.train.save_dir:

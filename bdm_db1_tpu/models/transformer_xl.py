@@ -907,6 +907,7 @@ class TransformerXL(nn.Module):
         rk_full: Array,         # [L, M+q, H, Dh] precomputed projections
         images: Optional[Array] = None,
         spec_tail: int = 0,
+        real_q: Optional[Array] = None,
     ) -> Tuple[Array, Dict[str, Array]]:
         """Autoregressive decode over a ring-buffer cache, any qlen up to
         mem_len — used for BOTH the multi-token prime and the per-action
@@ -933,11 +934,26 @@ class TransformerXL(nn.Module):
         cursor advances only past the q - spec_tail real tokens. Returns
         logits at every position from the last committed token on
         ([B, spec_tail+1, V]; [B, q, V] when nothing commits) instead of
-        the last position only."""
+        the last position only.
+
+        ``real_q`` (a DYNAMIC int32 scalar) marks the trailing
+        ``q - real_q`` tokens as geometry-bucket PADDING (eval/decode.py
+        obs-geometry coarsening, SURVEY.md §7 hard part 5): like
+        spec_tail they are query-only — their K/V rows never commit and
+        the cursor advances by ``real_q`` — but the count is a traced
+        operand, so envs with different obs lengths share ONE compiled
+        program per bucket width. Logits come from row ``real_q - 1``
+        (the real prime's last token). Exact vs the unpadded call: pads
+        sit after every real token, so causal masking keeps them out of
+        every real query's key set, and the masked commit writes real
+        rows only (tests/test_geometry_buckets.py). Mutually exclusive
+        with ``spec_tail``."""
         cfg = self.cfg
         M = cfg.mem_len
         qlen = tokens.shape[1]
         assert qlen <= M, (qlen, M)
+        assert real_q is None or spec_tail == 0, \
+            "bucket padding and speculative tails are mutually exclusive"
         cursor = cache["cursor"]
 
         sub = RLTaskBatch(tokens=tokens, position_id=position_id,
@@ -981,7 +997,10 @@ class TransformerXL(nn.Module):
                                     flash_kv)
         n_commit = qlen - spec_tail
         assert 0 <= n_commit <= qlen, (qlen, spec_tail)
-        if spec_tail:
+        if real_q is not None:
+            logits = self.logits(jax.lax.dynamic_slice_in_dim(
+                h, jnp.maximum(real_q - 1, 0), 1, axis=1))[:, 0, :]
+        elif spec_tail:
             logits = self.logits(h[:, max(n_commit - 1, 0):, :])
         else:
             logits = self.logits(h[:, -1:, :])[:, 0, :]
@@ -1000,7 +1019,21 @@ class TransformerXL(nn.Module):
         v_x = jax.lax.stop_gradient(v_x)[:, :, :n_commit]
         if quantized:
             kv = {"k": quantize_kv_rows(k_x), "v": quantize_kv_rows(v_x)}
-        if n_commit == 1:
+        if real_q is not None:
+            # dynamic commit count: scatter all qlen rows modularly, but
+            # rows >= real_q re-write the slot's CURRENT value (one small
+            # [.., qlen, ..] gather — qlen is a prime width, never M), so
+            # pad rows are no-ops and the cache equals the unpadded call's
+            idx = (cursor + jnp.arange(n_commit)) % M
+            keep = jnp.arange(n_commit) < real_q
+
+            def put(buf, upd, axis=2):
+                assert axis == 2
+                sel = keep.reshape((1, 1, n_commit) + (1,) *
+                                   (buf.ndim - 3))
+                return buf.at[:, :, idx].set(
+                    jnp.where(sel, upd, buf[:, :, idx]))
+        elif n_commit == 1:
             def put(buf, upd, axis=2):
                 return jax.lax.dynamic_update_slice_in_dim(
                     buf, upd, cursor, axis=axis)
@@ -1010,19 +1043,20 @@ class TransformerXL(nn.Module):
             def put(buf, upd, axis=2):
                 assert axis == 2
                 return buf.at[:, :, idx].set(upd)
+        advance = n_commit if real_q is None else real_q
         if quantized:
             new_cache = {
                 "k": put(cache["k"], kv["k"][0]),
                 "v": put(cache["v"], kv["v"][0]),
                 "k_scale": put(cache["k_scale"], kv["k"][1]),
                 "v_scale": put(cache["v_scale"], kv["v"][1]),
-                "cursor": (cursor + n_commit) % M,
+                "cursor": (cursor + advance) % M,
             }
         else:
             new_cache = {
                 "k": put(cache["k"], k_x),
                 "v": put(cache["v"], v_x),
-                "cursor": (cursor + n_commit) % M,
+                "cursor": (cursor + advance) % M,
             }
         return logits, new_cache
 

@@ -185,6 +185,12 @@ def main() -> None:
                     help="train mode: PRNG behind the dropout masks; rbg = "
                          "hardware RngBitGenerator (threefry masks cost "
                          "~16%% of the 1.2B step)")
+    ap.add_argument("--pad-buckets", action="store_true",
+                    help="eval mode: decode with geometry-bucket "
+                         "coarsening (pad the steady prime to the "
+                         "canonical bucket ladder; exact — measures the "
+                         "padded-width cost that suite-scale serving "
+                         "pays to share compiled programs)")
     ap.add_argument("--tag", default="",
                     help="suffix appended to the eval metric name (the "
                          "orchestrator passes _int8 for the int8-cache "
@@ -538,7 +544,10 @@ def bench_eval(args, geometry=None, tag: str = "") -> None:
     B = _default_eval_batch(args, geometry)
     cfg, model, params, ds, tenvs, _ = _eval_setup(
         args, B, episode_len, geometry)
-    decoder = build_decoder_for_env(model, params, tenvs[0])
+    decoder = build_decoder_for_env(
+        model, params, tenvs[0],
+        pad_buckets="default" if getattr(args, "pad_buckets", False)
+        else None)
 
     # -- drive B lockstep envs manually so we can time steady-state steps --
     rng = np.random.RandomState(0)
@@ -613,6 +622,8 @@ def bench_eval(args, geometry=None, tag: str = "") -> None:
     mean_dt = float(np.mean(times))
     actions_per_sec = B / mean_dt
     suffix = ("" if geometry == "mujoco" else f"_{geometry}") + tag
+    if getattr(args, "pad_buckets", False):
+        suffix += "_buckets"
     if getattr(args, "spec_adaptive", False):
         suffix += "_spec_adaptive"
     elif getattr(args, "speculate", False):
@@ -676,10 +687,13 @@ def bench_production(args) -> None:
     # decode programs inside the timed pass (tens of seconds of pure
     # Python tracing that the production CLI — one pool per run — never
     # pays per episode wave)
-    pool = DecoderPool(model, params)
+    adaptive = getattr(args, "spec_adaptive", False)
+    pool = DecoderPool(model, params, track_spec_sessions=adaptive)
     evaluate_envs_lockstep(model, params, names, make_tenv, num_trials=1,
                            seed=100, batch_size=bs, interleave=2,
                            decoder_pool=pool)
+    if adaptive:
+        pool.spec_sessions.clear()  # disclose the timed pass only
     t0 = time.perf_counter()
     res = evaluate_envs_lockstep(model, params, names, make_tenv,
                                  num_trials=1, seed=101, batch_size=bs,
@@ -688,10 +702,14 @@ def bench_production(args) -> None:
     total_actions = sum(r["length_mean"] * r["num_trials"] for r in res)
     actions_per_sec = total_actions / dt
     suffix = "" if args.geometry == "mujoco" else f"_{args.geometry}"
-    if getattr(args, "speculate", False):
+    if adaptive:
+        suffix += "_spec_adaptive"
+        if getattr(args, "spec_policy", ""):
+            suffix += f"_{args.spec_policy}"
+    elif getattr(args, "speculate", False):
         suffix += ("_spec_ceiling" if getattr(args, "spec_ceiling", False)
                    else "_spec")
-    print(json.dumps({
+    rec = {
         "metric": (f"rl_eval_actions_per_sec_production_1p2b{suffix}"
                    if not args.smoke
                    else f"rl_eval_actions_per_sec_production_smoke{suffix}"),
@@ -699,7 +717,19 @@ def bench_production(args) -> None:
         "unit": "actions/sec",
         "vs_baseline": round(
             actions_per_sec / A100_BASELINE_ACTIONS_PER_SEC, 3),
-    }), flush=True)
+    }
+    if adaptive and pool.spec_sessions:
+        ctls = [s.ctl for s in pool.spec_sessions]
+        total = sum(c.total_steps for c in ctls)
+        rec["spec_fraction"] = round(
+            sum(c.spec_steps for c in ctls) / max(1, total), 3)
+        rec["spec_switches"] = sum(c.switches for c in ctls)
+        rn = sum(c.rounds_n for c in ctls)
+        if rn:
+            rec["spec_verify_rounds_mean"] = round(
+                sum(c.rounds_sum for c in ctls) / rn, 3)
+        rec["spec_policy"] = args.spec_policy or "random"
+    print(json.dumps(rec), flush=True)
 
 
 def bench_train(args) -> None:

@@ -267,7 +267,7 @@ def test_chunked_prime_exactness_and_causal_gate():
                               method=TransformerXL.init_kv_cache)
         rk = model.apply({"params": params}, q,
                          method=TransformerXL.precompute_rk)
-        pos = np.asarray(dec._pos_cache[(2, q, 0)])
+        pos = np.asarray(dec._pos_cache[(2, q, 0, 0)])
         lg_ref, aligned = model.apply(
             {"params": params}, jnp.asarray(prime, jnp.int32),
             jnp.asarray(pos, jnp.int32), aligned, None, rk,
