@@ -1155,12 +1155,23 @@ class TransformerXL(nn.Module):
             "rl": self.embed_rl, "nlp": self.embed_nlp,
             "ic": self.embed_ic, "vqa": self.embed_vqa,
         }
+        # sub-modality groups: a key like "rl_img" routes to the base
+        # modality's embedder ("rl"). The jitted step needs every group
+        # shape-homogeneous and fixed-count per micro-batch; proprio RL
+        # (no images) and image RL (fixed frame window) therefore ride as
+        # SEPARATE groups of one mixture (data/samplers.py
+        # StratifiedGatoLoader; the reference's my_collate_fn groups by
+        # dataclass type and could never batch the two together either —
+        # src/data/data_samplers.py:28-42)
+        names = [n for n in MODALITY_ORDER if n in batch]
+        names += sorted(k for k in batch if k not in MODALITY_ORDER
+                        and k.split("_")[0] in embed_fns)
         embs, masks, labels = [], [], []
-        for name in MODALITY_ORDER:
-            if name not in batch or batch[name] is None:
+        for name in names:
+            if batch[name] is None:
                 continue
             sub = batch[name]
-            embs.append(embed_fns[name](sub, deterministic))
+            embs.append(embed_fns[name.split("_")[0]](sub, deterministic))
             if with_targets:
                 masks.append(sub.loss_mask)
                 labels.append(jnp.maximum(sub.label, 0))

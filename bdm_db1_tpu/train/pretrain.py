@@ -74,15 +74,29 @@ def build_loader(cfg: DB1Config, datasets_by_modality: Dict[str, object],
 
 
 def group_by_modality(train_ds) -> Dict[str, object]:
-    """The stratified loader wants one dataset per modality; the blendable
-    mixture already proportions inside each modality."""
+    """The stratified loader wants one dataset per SHAPE-HOMOGENEOUS
+    group; the blendable mixture already proportions inside each group.
+
+    RL splits into sub-modality groups by image schema: proprioceptive
+    samples carry no ``images`` field while image-env samples carry a
+    fixed ``[T, H, W, C]`` frame window, and one micro-batch stack needs
+    identical pytrees — so image RL rides as ``rl_img<shape>`` groups
+    that the model routes to the same embedder
+    (models/transformer_xl.py embed_concat sub-modality dispatch)."""
     # The dataset factory returns a blended dataset; per-modality grouping
     # happens at the creator level. For the common case we inspect a probe
     # sample per sub-dataset.
+    def group_key(probe) -> str:
+        m = probe.get("modality", "rl")
+        if m == "rl" and "images" in probe:
+            shape = "x".join(str(s) for s in probe["images"].shape)
+            return f"rl_img{shape}"
+        return m
+
     if hasattr(train_ds, "datasets"):
         groups: Dict[str, list] = {}
         for d, w in zip(train_ds.datasets, train_ds.weights):
-            m = d[0].get("modality", "rl")
+            m = group_key(d[0])
             groups.setdefault(m, []).append((d, float(w)))
         out = {}
         weights = {}
@@ -98,7 +112,7 @@ def group_by_modality(train_ds) -> Dict[str, object]:
                     size=sum(len(p[0]) for p in pairs))
             weights[m] = sum(p[1] for p in pairs)
         return out, weights
-    m = train_ds[0].get("modality", "rl")
+    m = group_key(train_ds[0])
     return {m: train_ds}, {m: 1.0}
 
 

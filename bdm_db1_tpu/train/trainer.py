@@ -44,7 +44,9 @@ def to_gato_batch(raw: Dict[str, Dict[str, np.ndarray]]) -> Dict[str, object]:
 
     out = {}
     for m, fields in raw.items():
-        cls = _BATCH_TYPES[m]
+        # sub-modality groups ("rl_img") use the base modality's batch
+        # type; the model routes them to the base embedder
+        cls = _BATCH_TYPES[m.split("_")[0]]
         valid = {f.name for f in _dc.fields(cls)}
         out[m] = cls(**{k: jnp.asarray(v) for k, v in fields.items()
                         if k in valid})
