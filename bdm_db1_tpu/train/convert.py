@@ -171,6 +171,127 @@ def convert_checkpoint(load_dir: str, tag: str, cfg: DB1Config) -> dict:
     return convert_state_dict(sd, cfg)
 
 
+def invert_state_dict(params: Mapping, cfg: DB1Config
+                      ) -> Dict[str, np.ndarray]:
+    """Flax param pytree -> reference torch parameter names (numpy fp32).
+
+    The exact inverse of :func:`convert_state_dict` (vocab pad rows
+    stripped, kernels transposed back to [out, in], conv HWIO -> OIHW,
+    scan-stacked layers unstacked). Used to SYNTHESIZE a
+    reference-format DeepSpeed checkpoint at any geometry — the
+    flagship cold-path rehearsal (scripts/ckpt_rehearsal.py) and the
+    round-trip test (tests/test_checkpoint.py) both need one without
+    downloading the released 1.2B
+    (reference format: src/checkpointing.py:17-22)."""
+    from flax import linen as nn
+
+    params = nn.meta.unbox(params)
+    m = cfg.model
+    layout = cfg.vocab.layout()
+    L = m.n_layer
+    g = lambda *ks: _np(_walk(params, ks))
+    sd: Dict[str, np.ndarray] = {
+        "word_embedding.weight":
+            g("word_embedding", "embedding")[:layout.total_vocab_size],
+        "rl_local_timestep_embedding.weight":
+            g("rl_timestep_embedding", "embedding"),
+        # sinusoidal inv-freq buffer (reference transformer_xl.py:34-50;
+        # not learned — reconstructed analytically)
+        "pos_emb.inv_freq": (
+            1.0 / (10000.0 ** (np.arange(0.0, m.n_embed, 2.0) / m.n_embed))
+        ).astype(np.float32),
+    }
+    if not m.untie_r:
+        sd["r_w_bias"] = g("r_w_bias")
+        sd["r_r_bias"] = g("r_r_bias")
+        # the reference shares ONE (r_w, r_r) pair across layers; torch
+        # state_dicts still list the shared tensor under every layer
+        for i in range(L):
+            sd[f"h.{i}.dec_attn.r_w_bias"] = sd["r_w_bias"]
+            sd[f"h.{i}.dec_attn.r_r_bias"] = sd["r_r_bias"]
+
+    def unstack(fmt: str, arr: np.ndarray, f=lambda x: x) -> None:
+        assert arr.shape[0] == L, (fmt, arr.shape)
+        for i in range(L):
+            sd[fmt.format(i=i)] = f(arr[i])
+
+    attn = _walk(params, ("layers", "attn"))
+    unstack("h.{i}.dec_attn.qkv_net.weight", _np(attn["qkv_net"]["kernel"]),
+            _t)
+    unstack("h.{i}.dec_attn.r_net.weight", _np(attn["r_net"]["kernel"]), _t)
+    unstack("h.{i}.dec_attn.o_net.weight", _np(attn["o_net"]["kernel"]), _t)
+    unstack("h.{i}.dec_attn.layer_norm.weight",
+            _np(attn["layer_norm"]["scale"]))
+    unstack("h.{i}.dec_attn.layer_norm.bias",
+            _np(attn["layer_norm"]["bias"]))
+    if m.untie_r:
+        unstack("h.{i}.dec_attn.r_w_bias", _np(attn["r_w_bias"]))
+        unstack("h.{i}.dec_attn.r_r_bias", _np(attn["r_r_bias"]))
+    ff = _walk(params, ("layers", "ff"))
+    unstack("h.{i}.pos_ff.CoreNet.0.weight", _np(ff["wi"]["kernel"]), _t)
+    unstack("h.{i}.pos_ff.CoreNet.0.bias", _np(ff["wi"]["bias"]))
+    unstack("h.{i}.pos_ff.CoreNet.2.weight", _np(ff["wo"]["kernel"]), _t)
+    unstack("h.{i}.pos_ff.CoreNet.2.bias", _np(ff["wo"]["bias"]))
+    unstack("h.{i}.pos_ff.layer_norm.weight", _np(ff["layer_norm"]["scale"]))
+    unstack("h.{i}.pos_ff.layer_norm.bias", _np(ff["layer_norm"]["bias"]))
+
+    if "vision" in params:
+        patch = _walk(params, ("vision", "patch"))
+        vp = "vision_encoder.patch_embeddings."
+
+        def inv_conv(w):
+            return np.ascontiguousarray(np.transpose(_np(w), (3, 2, 0, 1)))
+
+        sd[vp + "conv1.weight"] = inv_conv(patch["conv_in"]["kernel"])
+        sd[vp + "conv1.bias"] = _np(patch["conv_in"]["bias"])
+        sd[vp + "residual_path.0.weight"] = _np(patch["gn1"]["scale"])
+        sd[vp + "residual_path.0.bias"] = _np(patch["gn1"]["bias"])
+        sd[vp + "residual_path.2.weight"] = inv_conv(
+            patch["conv_mid1"]["kernel"])
+        sd[vp + "residual_path.2.bias"] = _np(patch["conv_mid1"]["bias"])
+        sd[vp + "residual_path.3.weight"] = _np(patch["gn2"]["scale"])
+        sd[vp + "residual_path.3.bias"] = _np(patch["gn2"]["bias"])
+        sd[vp + "residual_path.5.weight"] = inv_conv(
+            patch["conv_mid2"]["kernel"])
+        sd[vp + "residual_path.5.bias"] = _np(patch["conv_mid2"]["bias"])
+        sd[vp + "projection.weight"] = inv_conv(patch["projection"]["kernel"])
+        sd[vp + "projection.bias"] = _np(patch["projection"]["bias"])
+        sd["vision_encoder.row_position_embeddings.weight"] = g(
+            "vision", "row_pos", "embedding")
+        sd["vision_encoder.col_position_embeddings.weight"] = g(
+            "vision", "col_pos", "embedding")
+
+    if not m.share_input_output_embedding and "lm_head" in params:
+        head = _np(params["lm_head"]["kernel"])  # [d, padded]
+        sd["lm_head.weight"] = _t(head[:, :layout.total_vocab_size])
+    return sd
+
+
+def _walk(tree, keys):
+    for k in keys:
+        tree = tree[k]
+    return tree
+
+
+def save_deepspeed_checkpoint(params: Mapping, cfg: DB1Config,
+                              load_dir: str, tag: str,
+                              dtype: str = "float16") -> str:
+    """Write ``<load_dir>/<tag>/mp_rank_00_model_states.pt`` in the
+    reference's DeepSpeed engine layout (fp16 tensors under "module"),
+    from a flax param tree. Returns the file path."""
+    import torch
+
+    sd = invert_state_dict(params, cfg)
+    tdt = getattr(torch, dtype)
+    module = {k: torch.from_numpy(np.ascontiguousarray(v)).to(tdt)
+              for k, v in sd.items()}
+    out_dir = os.path.join(load_dir, tag)
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "mp_rank_00_model_states.pt")
+    torch.save({"module": module}, path)
+    return path
+
+
 def main(argv=None) -> None:
     """CLI: convert a DeepSpeed checkpoint to an orbax checkpoint dir.
 
