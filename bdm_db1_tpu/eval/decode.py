@@ -241,15 +241,15 @@ class ActionDecoder:
         # how many trailing action tokens of a decode the caller must carry
         # into the next call's deferred_tok (1 = classic defer_last)
         self.defer_width = self.action_length if self.speculates else 1
-        # geometry-bucket coarsening (classic ring path only; spec tails
-        # and bucket pads both ride as query-only trailing tokens and are
-        # mutually exclusive — a speculative decoder keeps exact widths):
-        # primes pad up to canonical widths so different obs lengths share
-        # one compiled program per bucket (SURVEY.md §7 hard part 5)
+        # geometry-bucket coarsening: primes pad up to canonical widths
+        # with query-only rows so different obs lengths share one
+        # compiled program per bucket (SURVEY.md §7 hard part 5).
+        # Composes with speculative decode — the in-jit layout becomes
+        # [real || guesses || pads], so the guess tail still directly
+        # follows the real prefix (decode_rl_kv_ring real_q+spec_tail).
         if pad_buckets == "default":
             pad_buckets = DEFAULT_OBS_BUCKETS
         self.pad_buckets = (tuple(sorted(pad_buckets)) if pad_buckets
-                            and not self.speculates
                             and self.use_kv_cache
                             and self.model.cfg.same_length else None)
         # compiled programs + rk projections shared across the pool's
@@ -445,15 +445,19 @@ class ActionDecoder:
                         frame_splits = (0,) + tuple(frame_splits)
         spec_now = self.speculates if speculate is None \
             else (bool(speculate) and self.speculates)
-        # geometry-bucket padding (classic ring path): pad the single-slice
-        # prime — or the chunked prime's last slice — up to a canonical
-        # width with query-only rows (real_q operand, decode_rl_kv_ring),
-        # so envs with different obs lengths share one compiled program
-        # and one rk projection per bucket (SURVEY.md §7 hard part 5).
-        # Exact vs unpadded: tests/test_geometry_buckets.py.
+        # geometry-bucket padding: pad the single-slice prime — or the
+        # chunked prime's last slice — up to a canonical width with
+        # query-only rows (real_q operand, decode_rl_kv_ring), so envs
+        # with different obs lengths share one compiled program and one
+        # rk projection per bucket (SURVEY.md §7 hard part 5). On the
+        # speculative path the guess tail must also fit the ring call
+        # (bucket + S <= mem_len) — the jit reorders the padded slice to
+        # [real || guesses || pads]. Exact vs unpadded:
+        # tests/test_geometry_buckets.py.
         pad_n, real_last = 0, None
-        if self.pad_buckets is not None and not spec_now:
-            cap = min(chunk, M)
+        if self.pad_buckets is not None:
+            spec_room = (self.action_length - 1) if spec_now else 0
+            cap = min(chunk, M - spec_room)
             if sizes is None and q <= M:
                 W = _bucket_for(q, self.pad_buckets)
                 if W is not None and q < W <= cap:
@@ -500,8 +504,9 @@ class ActionDecoder:
                   if prime_images is not None else None)
         if spec_now:
             return self._dispatch_spec(tokens, pos, mems, bias_dev, images,
-                                       sizes, frame_splits, q, deferred,
-                                       defer_last, guess_tok)
+                                       sizes, frame_splits, q + pad_n,
+                                       deferred, defer_last, guess_tok,
+                                       real_last)
         rk_chunks = (tuple(self._rk_for(s) for s in sizes)
                      if sizes is not None else (self._rk_for(q + pad_n),))
         act_tokens, new_mems = self._jit_decode(
@@ -513,7 +518,7 @@ class ActionDecoder:
 
     def _dispatch_spec(self, tokens, pos, mems, bias_dev, images, sizes,
                        frame_splits, q, deferred, defer_last,
-                       guess_tok=None):
+                       guess_tok=None, real_last=None):
         """Assemble the speculative decode call: persistence guesses from
         the deferred previous action (or an explicit ``guess_tok``, or the
         mid-range cold guess), the ring slice plan with the guess tail
@@ -535,6 +540,8 @@ class ActionDecoder:
             tail = False                 # window-slide prime (q > mem_len)
         elif sizes[-1] + S > M:
             # the guess tail must fit the ring call's q <= mem_len bound
+            # (never hit for bucket-padded slices: their cap is M - S)
+            assert real_last is None, (sizes, S, M)
             if images is None and M - S >= 1:
                 t = sizes[-1]
                 sizes[-1:] = [t - (M - S), M - S]
@@ -550,13 +557,17 @@ class ActionDecoder:
                 for i, s in enumerate(sizes))
         else:
             rk_chunks = (self._rk_for(q),)
+        # a padded slice always carries the guess tail (its bucket cap is
+        # M - S, so the tail can never be dropped for space)
+        assert tail or real_last is None
         act, new_mems, rounds = self._jit_decode_spec(
             {"params": self.params}, tokens, pos, mems, bias_dev, images,
             rk_chunks, self._rk_for(S),
             None if defer_last else self._rk_for(self.action_length),
             frame_splits, self._dev(np.asarray(guesses, np.int32),
                                     "data", None), tail,
-            defer_last)
+            defer_last,
+            None if real_last is None else np.int32(real_last))
         # verify rounds of the last call (device scalar, no sync): rounds+1
         # total forwards vs action_length sequentially — bench.py reports
         # the mean as the acceptance diagnostic
@@ -918,7 +929,8 @@ def _leading_matches(ok):
 
 def _decode_step_spec(model, action_length, variables, tokens, pos, mems,
                       bias, images, rk_chunks, rk_verify, rk_fold,
-                      frame_splits, guesses, tail, defer_last):
+                      frame_splits, guesses, tail, defer_last,
+                      real_q=None):
     """Speculative (Jacobi) greedy decode, entirely on device.
 
     tokens [B, w]: the commit block ([deferred previous action ||] obs ||
@@ -975,12 +987,33 @@ def _decode_step_spec(model, action_length, variables, tokens, pos, mems,
                             images, f0, f0 + nf, axis=1)
                         f0 += nf
             if st:
-                tok_c = jnp.concatenate(
-                    [tok_c, guesses.astype(tok_c.dtype)], axis=1)
-                pos_c = jnp.concatenate([pos_c, gpos], axis=1)
+                if real_q is not None:
+                    # bucket-padded slice: tok_c is [real || pads] from
+                    # the host; rebuild as [real || guesses || pads] (the
+                    # guess tail must directly follow the real prefix —
+                    # in-call causal attention would otherwise let the
+                    # guesses see the pad rows' K/V). Row-index gathers,
+                    # dynamic in real_q only.
+                    W = tok_c.shape[1]
+                    iota = jnp.arange(W + S)
+                    fp = tok_c[:, jnp.clip(iota, 0, W - 1)]
+                    fg = guesses[:, jnp.clip(iota - real_q, 0, S - 1)
+                                 ].astype(tok_c.dtype)
+                    tok_c = jnp.where(
+                        iota[None] < real_q, fp,
+                        jnp.where(iota[None] < real_q + S, fg,
+                                  jnp.zeros_like(fp)))
+                    pp = pos_c[:, jnp.clip(iota, 0, W - 1)]
+                    pos_c = jnp.where(iota[None] < real_q, pp,
+                                      jnp.zeros_like(pp))
+                else:
+                    tok_c = jnp.concatenate(
+                        [tok_c, guesses.astype(tok_c.dtype)], axis=1)
+                    pos_c = jnp.concatenate([pos_c, gpos], axis=1)
             logits, mems = model.apply(
                 variables, tok_c, pos_c, mems, rk_c, img_c,
-                method=TransformerXL.decode_rl_kv_ring, spec_tail=st)
+                method=TransformerXL.decode_rl_kv_ring, spec_tail=st,
+                real_q=(real_q if st else None))
             start += size
     else:
         # misaligned image prime longer than the window: same realign +

@@ -936,24 +936,27 @@ class TransformerXL(nn.Module):
         ([B, spec_tail+1, V]; [B, q, V] when nothing commits) instead of
         the last position only.
 
-        ``real_q`` (a DYNAMIC int32 scalar) marks the trailing
-        ``q - real_q`` tokens as geometry-bucket PADDING (eval/decode.py
-        obs-geometry coarsening, SURVEY.md §7 hard part 5): like
-        spec_tail they are query-only — their K/V rows never commit and
-        the cursor advances by ``real_q`` — but the count is a traced
-        operand, so envs with different obs lengths share ONE compiled
-        program per bucket width. Logits come from row ``real_q - 1``
-        (the real prime's last token). Exact vs the unpadded call: pads
-        sit after every real token, so causal masking keeps them out of
-        every real query's key set, and the masked commit writes real
-        rows only (tests/test_geometry_buckets.py). Mutually exclusive
-        with ``spec_tail``."""
+        ``real_q`` (a DYNAMIC int32 scalar) switches the call into
+        geometry-bucket mode (eval/decode.py obs-geometry coarsening,
+        SURVEY.md §7 hard part 5): only the first ``real_q`` rows are
+        real committed tokens — everything after is query-only (their
+        K/V rows never commit and the cursor advances by ``real_q``) —
+        and because the count is a traced operand, envs with different
+        obs lengths share ONE compiled program per bucket width. Logits
+        come from ``spec_tail + 1`` rows starting at ``real_q - 1`` (the
+        real prime's last token, plus the speculative guesses when the
+        caller composes bucketing with Jacobi decode — its in-call
+        layout is [real || guesses || pads], so guess rows directly
+        follow the real prefix and pads are last). Exact vs the unpadded
+        call: every real/guess query's key set is unchanged (pads sit
+        after them; attention masks and BD positional scores are
+        row-index arithmetic, agnostic to where the real/pad boundary
+        falls), and the masked commit writes real rows only
+        (tests/test_geometry_buckets.py)."""
         cfg = self.cfg
         M = cfg.mem_len
         qlen = tokens.shape[1]
         assert qlen <= M, (qlen, M)
-        assert real_q is None or spec_tail == 0, \
-            "bucket padding and speculative tails are mutually exclusive"
         cursor = cache["cursor"]
 
         sub = RLTaskBatch(tokens=tokens, position_id=position_id,
@@ -999,7 +1002,11 @@ class TransformerXL(nn.Module):
         assert 0 <= n_commit <= qlen, (qlen, spec_tail)
         if real_q is not None:
             logits = self.logits(jax.lax.dynamic_slice_in_dim(
-                h, jnp.maximum(real_q - 1, 0), 1, axis=1))[:, 0, :]
+                h, jnp.maximum(real_q - 1, 0), spec_tail + 1, axis=1))
+            if not spec_tail:
+                logits = logits[:, 0, :]
+            # the masked commit below writes over the full qlen window
+            n_commit = qlen
         elif spec_tail:
             logits = self.logits(h[:, max(n_commit - 1, 0):, :])
         else:

@@ -172,22 +172,71 @@ def test_pool_shares_programs_across_obs_lengths():
     assert 8 in pool.shared.rk_cache
 
 
-def test_speculative_decoder_skips_bucketing():
-    """pad_buckets is ignored for speculative decoders (the guess tail
-    and bucket pads are mutually exclusive trailing-row mechanisms)."""
+def test_bucketed_speculative_matches_sequential():
+    """Bucketing composes with speculative decode: the jit rebuilds the
+    padded slice as [real || guesses || pads], and the padded spec chain
+    equals both the unpadded spec chain and the classic sequential
+    greedy chain."""
     cfg, model, params, tenvs = _setup(
-        FakeContinuousEnv, 1, obs_dim=4, act_dim=3, episode_len=6)
+        FakeContinuousEnv, 2, obs_dim=4, act_dim=3, episode_len=8)
     smodel = _variant(cfg, model, decode_flash="off",
                       decode_speculative=True)
     dec = build_decoder_for_env(smodel, params, tenvs[0],
                                 pad_buckets="default")
-    assert dec.speculates and dec.pad_buckets is None
-    primes = _episode_primes(tenvs, 0, 4, 4)
+    assert dec.speculates and dec.pad_buckets == DEFAULT_OBS_BUCKETS
+    primes = _episode_primes(tenvs, 0, 6, 4)
     ref = _chain(build_decoder_for_env(
         _variant(cfg, model, decode_flash="off"), params, tenvs[0]),
         primes, defer=False)
+    spec_plain = _chain(build_decoder_for_env(smodel, params, tenvs[0]),
+                        primes, defer=True)
     got = _chain(dec, primes, defer=True)
-    _assert_chains_equal(ref, got, "spec")
+    _assert_chains_equal(ref, spec_plain, "spec-plain")
+    _assert_chains_equal(ref, got, "spec-bucketed")
+
+
+def test_bucketed_speculative_flash():
+    """Spec + buckets through the fused ring kernels (interpret mode)."""
+    cfg, model, params, tenvs = _setup(
+        FakeContinuousEnv, 2, obs_dim=4, act_dim=3, episode_len=8)
+    fmodel = _variant(cfg, model, decode_flash="on",
+                      decode_speculative=True)
+    primes = _episode_primes(tenvs, 1, 5, 4)
+    ref = _chain(build_decoder_for_env(
+        _variant(cfg, model, decode_flash="off"), params, tenvs[0]),
+        primes, defer=False)
+    got = _chain(build_decoder_for_env(fmodel, params, tenvs[0],
+                                       pad_buckets="default"),
+                 primes, defer=True)
+    _assert_chains_equal(ref, got, "spec-flash-bucketed")
+
+
+def test_spec_pool_shares_programs_across_obs_lengths():
+    """Two continuous geometries sharing a bucket also share the
+    compiled SPECULATIVE program (same action_length): running the
+    second geometry's steady spec step adds no new compile."""
+    cfg, model, params, tenvs4 = _setup(
+        FakeContinuousEnv, 1, obs_dim=4, act_dim=3, episode_len=6)
+    _, _, _, tenvs5 = _setup(
+        FakeContinuousEnv, 1, obs_dim=5, act_dim=3, episode_len=6)
+    smodel = _variant(cfg, model, decode_flash="off",
+                      decode_speculative=True)
+    pool = DecoderPool(smodel, params, pad_buckets="default")
+    dec4, dec5 = pool.get(tenvs4[0]), pool.get(tenvs5[0])
+    assert dec4._jit_decode_spec is dec5._jit_decode_spec
+
+    sep = np.array([tenvs4[0].separator_id], dtype=np.int64)
+
+    def steady(tenv, dec):
+        obs, _, _ = tenv.reset()
+        prime = np.concatenate([obs, sep])[None]
+        a, mems = dec.decode(prime, dec.init_mems(1))
+        return np.asarray(a)
+
+    steady(tenvs4[0], dec4)
+    size_after_first = dec4._jit_decode_spec._cache_size()
+    steady(tenvs5[0], dec5)          # 6+1 and 5+1 -> same bucket 8
+    assert dec5._jit_decode_spec._cache_size() == size_after_first
 
 
 def test_census_report():
