@@ -971,8 +971,21 @@ class TransformerXL(nn.Module):
         r_r = getattr(self, "r_r_bias", None)
         cursor_per_layer = jnp.broadcast_to(cursor, (cfg.n_layer,))
         quantized = "k_scale" in cache
+        use_flash = self._use_flash_decode(qlen)
+        if (use_flash and spec_tail and tokens.shape[0] < 32
+                and cfg.decode_flash != "on"
+                and jax.devices()[0].platform == "tpu"):
+            # chip-validated fault map (r5): the speculative-tail flash
+            # program crashes the TPU worker at batch < 32 (b16/b24
+            # reproduce, b32/b40 clean; the SAME batch is fine on the
+            # XLA ring branch, and classic flash primes of the same
+            # qlen are fine) — route spec-tail calls at those batches
+            # to the XLA branch. The q == 1 cache-fold steps keep the
+            # fused kernel. Probe script: /tmp-style repro retained as
+            # scripts/chipcheck.py coverage.
+            use_flash = False
         flash_kv = None
-        if self._use_flash_decode(qlen):
+        if use_flash:
             # native [L, B, M, H, Dh] layout straight into the kernel — a
             # head-dim-merging reshape here is a TPU relayout, not a
             # bitcast: XLA materializes a full 3.75 GB cache copy per array.

@@ -275,6 +275,64 @@ def _():
     return f"loss {float(val):.4f}"
 
 
+@check("spec-tail small-batch gate (1.2B b16 decode program) [slow]")
+def _():
+    """r5 fault map: the COMPOSED speculative decode program (prime with
+    guess tail + verify while_loop) crashed the TPU worker at batch < 32
+    on the 1.2B flagship (b16/b24 reproduce, b32/b40 clean; bare
+    prime_ap kernels at b8 are fine — see the Q=24 check above — and the
+    XLA ring branch at the same batch is fine). decode_rl_kv_ring now
+    routes spec_tail calls at batch < 32 to the XLA branch on real
+    chips; this check runs the full b16 spec-adaptive decode step
+    end-to-end to prove the gate holds (~15 min: one 1.2B remote-AOT
+    compile)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bdm_db1_tpu.core.config import db1_1p2b
+    from bdm_db1_tpu.data.input_specs import RLTaskBatch
+    from bdm_db1_tpu.data.rl_dataset import (
+        RLFullDataset, RLTokenizerSuite, TrajectoryStore,
+    )
+    from bdm_db1_tpu.eval.decode import build_decoder_for_env
+    from bdm_db1_tpu.eval.envs import FakeContinuousEnv
+    from bdm_db1_tpu.eval.wrapper import TokenizedEnv
+    from bdm_db1_tpu.models.transformer_xl import TransformerXL
+    from bdm_db1_tpu.tokenizers.scalar import ScalarTokenizer
+    from bdm_db1_tpu.tokenizers.text import ByteTextTokenizer
+
+    cfg = db1_1p2b()
+    cfg.model.param_dtype = "bfloat16"
+    cfg.model.decode_speculative = True
+    suite = RLTokenizerSuite(
+        cfg.vocab.layout(),
+        ScalarTokenizer(cfg.vocab.num_continuous_bin),
+        ByteTextTokenizer(), vision_patch_size=cfg.vision.patch_size)
+    env_fn = lambda s: FakeContinuousEnv(  # noqa: E731
+        obs_dim=17, act_dim=6, episode_len=20, seed=s)
+    store = TrajectoryStore.from_flat_dataset(env_fn(999).make_dataset(3))
+    ds = RLFullDataset("chipcheck", store, suite,
+                       seq_length=cfg.model.n_position, use_prompt=True,
+                       seed=0)
+    tenv = TokenizedEnv(env_fn(0), ds)
+    model = TransformerXL(cfg.model, cfg.vocab, cfg.vision)
+    tok = jnp.zeros((1, cfg.model.n_position), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), {"rl": RLTaskBatch(
+        tokens=tok, position_id=tok, loss_mask=tok, label=tok)})["params"]
+    dec = build_decoder_for_env(model, params, tenv)
+    B = 16
+    sep = np.array([tenv.separator_id], np.int64)
+    obs, _, _ = tenv.reset()
+    p = np.broadcast_to(np.concatenate([obs, sep]), (B, 18)).copy()
+    guess = np.full((B, dec.action_length), dec._default_guess, np.int64)
+    act, _ = dec.decode_async(p, dec.init_mems(B),
+                              deferred_tok=guess[:, :1], defer_last=True,
+                              speculate=True, guess_tok=guess)
+    a = np.asarray(act)
+    assert a.shape == (B, dec.action_length), a.shape
+    return "gate holds (spec-tail b16 ran XLA branch, no worker crash)"
+
+
 def main() -> None:
     global jax
     import jax
@@ -285,6 +343,10 @@ def main() -> None:
     failures = 0
     for name, fn in _RESULTS:
         if filt and filt not in name:
+            continue
+        if "[slow]" in name and filt not in ("[slow]", "slow") \
+                and (not filt or filt not in name):
+            print(f"SKIP  {name} (pass 'slow' to run)", flush=True)
             continue
         try:
             import time
