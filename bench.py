@@ -712,19 +712,44 @@ def bench_production(args) -> None:
     # Python tracing that the production CLI — one pool per run — never
     # pays per episode wave)
     adaptive = getattr(args, "spec_adaptive", False)
-    pool = DecoderPool(model, params, track_spec_sessions=adaptive)
-    evaluate_envs_lockstep(model, params, names, make_tenv, num_trials=1,
-                           seed=100, batch_size=bs, interleave=2,
-                           decoder_pool=pool)
+    interleave = 2
+    if adaptive and not args.smoke:
+        # adaptive geometry: ONE cohort of 32 — b32 keeps the fused
+        # spec-tail kernels (the b < 32 worker-fault gate routes smaller
+        # batches to the XLA branch, whose fp32 spec-prime score buffers
+        # don't fit next to two cohorts' ring caches: 24x2 adaptive OOMs
+        # HBM), and one cohort bounds the caches to 6.5 GB
+        bs, interleave = 32, 1
+    classic_aps = None
+
+    def timed_pass(the_model, the_pool):
+        evaluate_envs_lockstep(the_model, params, names, make_tenv,
+                               num_trials=1, seed=100, batch_size=bs,
+                               interleave=interleave, decoder_pool=the_pool)
+        if getattr(the_pool, "spec_sessions", None):
+            the_pool.spec_sessions.clear()  # disclose the timed pass only
+        t0 = time.perf_counter()
+        res = evaluate_envs_lockstep(the_model, params, names, make_tenv,
+                                     num_trials=1, seed=101, batch_size=bs,
+                                     interleave=interleave,
+                                     decoder_pool=the_pool)
+        dt = time.perf_counter() - t0
+        return sum(r["length_mean"] * r["num_trials"] for r in res) / dt
+
     if adaptive:
-        pool.spec_sessions.clear()  # disclose the timed pass only
-    t0 = time.perf_counter()
-    res = evaluate_envs_lockstep(model, params, names, make_tenv,
-                                 num_trials=1, seed=101, batch_size=bs,
-                                 interleave=2, decoder_pool=pool)
-    dt = time.perf_counter() - t0
-    total_actions = sum(r["length_mean"] * r["num_trials"] for r in res)
-    actions_per_sec = total_actions / dt
+        # same-geometry CLASSIC baseline first (the plain production
+        # section runs 24x2, not comparable to the adaptive 32x1) — the
+        # line's point is the adverse-endpoint overhead ratio
+        import dataclasses as _dc
+
+        from bdm_db1_tpu.models.transformer_xl import TransformerXL as _TXL
+
+        cmodel = _TXL(_dc.replace(model.cfg, decode_speculative=False,
+                                  decode_spec_adaptive=False),
+                      cfg.vocab, cfg.vision)
+        classic_aps = timed_pass(cmodel, DecoderPool(cmodel, params))
+    pool = DecoderPool(model, params, track_spec_sessions=adaptive)
+    actions_per_sec = timed_pass(model, pool)
     suffix = "" if args.geometry == "mujoco" else f"_{args.geometry}"
     if adaptive:
         suffix += "_spec_adaptive"
@@ -753,6 +778,9 @@ def bench_production(args) -> None:
             rec["spec_verify_rounds_mean"] = round(
                 sum(c.rounds_sum for c in ctls) / rn, 3)
         rec["spec_policy"] = args.spec_policy or "random"
+    if classic_aps is not None:
+        rec["classic_same_geometry"] = round(classic_aps, 3)
+        rec["vs_classic"] = round(actions_per_sec / classic_aps, 3)
     print(json.dumps(rec), flush=True)
 
 
