@@ -26,7 +26,8 @@ import sys
 BENCH = os.path.join(os.path.dirname(__file__), "..", "bench.py")
 # keep only the cheapest non-headline section (spec) + the headline:
 # smoke sections are small but the full set would add minutes
-SKIP = "pretrain,production,atari,babyai,int8_cache,w8a8,spec_adaptive"
+SKIP = ("pretrain,pretrain_mixture,production,production_spec_adaptive,"
+        "atari,babyai,int8_cache,w8a8,spec_adaptive")
 
 
 def _run(fault: str, extra=()):
