@@ -17,20 +17,20 @@ Bare ``python bench.py`` emits one JSON line per metric
      evaluate_envs_lockstep wall clock — the number the CLI delivers),
   5. production + adaptive speculation at the adverse endpoint (the
      serving-safety line: the controller's exit keeps the wall clock
-     near plain production even at 0% acceptance),
-  6. image-geometry (atari) RL eval actions/sec,
-  7. text-geometry (babyai) RL eval actions/sec (instruction tokens +
-     image obs, discrete actions),
-  8. int8-cache RL eval actions/sec (the largest-batch operating point;
+     near a same-geometry classic baseline even at 0% acceptance),
+  6. int8-cache RL eval actions/sec (the largest-batch operating point;
      tolerance path, in-kernel dequant),
-  9. W8A8-decode-weights actions/sec (per-row activation quant +
+  7. W8A8-decode-weights actions/sec (per-row activation quant +
      MXU-native int8 dot; tolerance path),
- 10. speculative-decode actions/sec with a BC-smoothed policy
+  8. speculative-decode actions/sec with a BC-smoothed policy
      (spec_verify_rounds_mean strictly between the all-accepted and
      all-rejected endpoints),
- 11. ADAPTIVE speculation at the adverse endpoint (random weights, every
+  9. ADAPTIVE speculation at the adverse endpoint (random weights, every
      guess rejected): the SpecController exits to the classic path and
-     recovers most of the 22% the bare flag loses there.
+     recovers most of the 22% the bare flag loses there,
+ 10. image-geometry (atari) RL eval actions/sec,
+ 11. text-geometry (babyai) RL eval actions/sec (instruction tokens +
+     image obs, discrete actions).
 
 Each metric runs in its OWN SUBPROCESS: a single config that crashes the
 chip (r3: the int8 pass died with a TPU INTERNAL error and took the bf16
