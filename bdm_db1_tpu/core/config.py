@@ -131,6 +131,16 @@ class ModelConfig:
     # path whichever mode each step runs (both paths are exact), so this
     # only changes throughput, never behavior.
     decode_spec_adaptive: bool = False
+    # compact softmax in the all-pairs prime kernel
+    # (ops/flash_ring_decode.py _prime_ap_core compact=True): the
+    # all-pairs [bm*H, Q*H] score matrix wastes 15/16 of its softmax VPU
+    # work on off-diagonal (key-head, query-head) pairs (xprof r5: the
+    # prime kernel runs 3.4x above its HBM floor, VPU-bound); this
+    # variant extracts the valid diagonal into a [bm, Q*H] matrix,
+    # softmaxes that, and expands the probabilities for the PV dot.
+    # Output-equal with the default (parity-tested); opt-in pending
+    # chip-side win measurement.
+    decode_prime_compact: bool = False
 
     @property
     def d_head(self) -> int:

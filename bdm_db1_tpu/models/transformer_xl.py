@@ -399,7 +399,8 @@ class RelMultiHeadAttn(nn.Module):
                 o_un, m_s, l_s = flash_ring_prime_ap(
                     k2, v2, qw.transpose(0, 2, 1, 3).astype(dtype), bias,
                     lidx, k_sc, v_sc, n_head=h, d_head=dh, scale=scale,
-                    interpret=interpret, mesh=self.decode_mesh)
+                    interpret=interpret, mesh=self.decode_mesh,
+                    compact=cfg.decode_prime_compact)
                 # new tokens' q x q block (causal among themselves)
                 ac_x = jnp.einsum("bihd,bjhd->bhij", qw,
                                   k_x.astype(jnp.float32))

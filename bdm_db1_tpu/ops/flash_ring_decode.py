@@ -370,8 +370,19 @@ def _prime_kernel_q(lidx_ref, k_ref, v_ref, ks_ref, vs_ref, qw_ref,
 MAX_PRIME_Q = 32
 
 
+def diag_sel_tile(n_head: int, n_q: int) -> "jnp.ndarray":
+    """[H, Q*H] f32 0/1 tile: 1 where the column's query-head equals the
+    row's key-head ((q, h) column order) — the multiplicative sibling of
+    :func:`rep_rows_mask`'s additive -inf tile."""
+    qh = n_q * n_head
+    h_r = jax.lax.broadcasted_iota(jnp.int32, (n_head, qh), 0)
+    h_q = jax.lax.broadcasted_iota(jnp.int32, (n_head, qh), 1) % n_head
+    return (h_r == h_q).astype(jnp.float32)
+
+
 def _prime_ap_core(k_ref, v_ref, qwt_ref, bias_ref, ks_ref, vs_ref,
-                   o_ref, om_ref, ol_ref, *, n_head: int, n_q: int):
+                   o_ref, om_ref, ol_ref, *, n_head: int, n_q: int,
+                   compact: bool = False):
     """All-pairs prime: the q == 1 kernel's design generalized to Q*H
     columns — ONE wide MXU dot instead of the per-head loop's strided
     [.., h, :] VMEM slices (those gather ~1 vreg row/cycle and measured
@@ -400,6 +411,46 @@ def _prime_ap_core(k_ref, v_ref, qwt_ref, bias_ref, ks_ref, vs_ref,
     s_all = jax.lax.dot_general(
         k2, qwt_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)               # [rows, QH]
+
+    if compact:
+        # COMPACT SOFTMAX (xprof r5: the all-pairs design wastes 15/16
+        # of the softmax VPU work on off-diagonal (key-head, query-head)
+        # pairs — exp over [bm*H, Q*H] was the kernel's bound, not
+        # bytes). Extract the valid diagonal into a 16x smaller
+        # [bm, Q*H] matrix (mask-mult + sublane-group reduce), softmax
+        # THAT, and expand the probabilities back for the PV dot with a
+        # broadcast-mult. Output-equal with the additive-mask path: the
+        # -1e30 junk entries there exp to exactly 0, here they are
+        # never materialized; max/denoms agree because junk never wins
+        # a max and contributes 0 to sums.
+        sel = diag_sel_tile(n_head, n_q)                  # [H, QH] 0/1
+        s_small = jnp.sum(
+            s_all.reshape(bm, n_head, qh) * sel[None], axis=1)  # [bm, QH]
+        if quantized:
+            # K dequant scale per key row, lane-tiled to (q, h) columns
+            s_small = s_small * pltpu.repeat(ks_ref[0, 0], n_q, axis=1)
+        s_small = s_small + bias_ref[0]                   # [bm, QH]
+
+        m_blk = jnp.max(s_small, axis=0, keepdims=True)   # [1, QH]
+        p_small = jnp.exp(s_small - m_blk)
+        l_blk = jnp.sum(p_small, axis=0, keepdims=True)   # [1, QH]
+        if quantized:
+            p_small = p_small * pltpu.repeat(vs_ref[0, 0], n_q, axis=1)
+        sel_rows = jnp.broadcast_to(
+            sel[None], (bm, n_head, qh)).reshape(rows, qh)
+        p = jnp.broadcast_to(
+            p_small[:, None, :], (bm, n_head, qh)).reshape(rows, qh) \
+            * sel_rows
+        v2 = v_ref[0, 0].reshape(rows, d_head)
+        if quantized:
+            v2 = v2.astype(cdtype)
+        o_blk = jax.lax.dot_general(
+            p.astype(v2.dtype), v2, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [QH, Dh]
+        o_ref[...] = o_blk[None, None]
+        om_ref[...] = m_blk[None, None]
+        ol_ref[...] = l_blk[None, None]
+        return
 
     bias_rep = jnp.broadcast_to(
         bias_ref[0][:, None, :], (bm, n_head, qh)).reshape(rows, qh)
@@ -436,16 +487,19 @@ def _prime_ap_core(k_ref, v_ref, qwt_ref, bias_ref, ks_ref, vs_ref,
 
 
 def _prime_ap_kernel(lidx_ref, k_ref, v_ref, qwt_ref, bias_ref,
-                     o_ref, om_ref, ol_ref, *, n_head: int, n_q: int):
+                     o_ref, om_ref, ol_ref, *, n_head: int, n_q: int,
+                     compact: bool = False):
     _prime_ap_core(k_ref, v_ref, qwt_ref, bias_ref, None, None,
-                   o_ref, om_ref, ol_ref, n_head=n_head, n_q=n_q)
+                   o_ref, om_ref, ol_ref, n_head=n_head, n_q=n_q,
+                   compact=compact)
 
 
 def _prime_ap_kernel_q(lidx_ref, k_ref, v_ref, ks_ref, vs_ref, qwt_ref,
                        bias_ref, o_ref, om_ref, ol_ref, *, n_head: int,
-                       n_q: int):
+                       n_q: int, compact: bool = False):
     _prime_ap_core(k_ref, v_ref, qwt_ref, bias_ref, ks_ref, vs_ref,
-                   o_ref, om_ref, ol_ref, n_head=n_head, n_q=n_q)
+                   o_ref, om_ref, ol_ref, n_head=n_head, n_q=n_q,
+                   compact=compact)
 
 
 def flash_ring_prime_ap(
@@ -462,6 +516,7 @@ def flash_ring_prime_ap(
     n_head: int, d_head: int, scale: float,
     block_m: int = DEFAULT_BLOCK_M, interpret: bool = False,
     mesh=None, data_axis: str = "data", model_axis: str = "model",
+    compact: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """All-pairs variant of :func:`flash_ring_prime`; handles exact-dtype
     AND int8(+scales) caches — the scales stay in the q == 1 kernel's
@@ -494,7 +549,8 @@ def flash_ring_prime_ap(
         lidx = jnp.reshape(lidx.astype(jnp.int32), (1,))
         inner = functools.partial(
             _flash_ring_prime_ap_local, n_head=H // tp, d_head=d_head,
-            scale=scale, block_m=block_m, interpret=interpret)
+            scale=scale, block_m=block_m, interpret=interpret,
+            compact=compact)
         manual = {data_axis, model_axis} & set(mesh.axis_names)
         if k_scale is not None:
             return jax.shard_map(
@@ -512,12 +568,13 @@ def flash_ring_prime_ap(
     return _flash_ring_prime_ap_local(
         k_cache, v_cache, qw, bias, lidx, k_scale, v_scale,
         n_head=n_head, d_head=d_head, scale=scale, block_m=block_m,
-        interpret=interpret)
+        interpret=interpret, compact=compact)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_head", "d_head", "scale", "block_m", "interpret"))
+    static_argnames=("n_head", "d_head", "scale", "block_m", "interpret",
+                     "compact"))
 def _flash_ring_prime_ap_local(
     k_cache: jax.Array,
     v_cache: jax.Array,
@@ -529,6 +586,7 @@ def _flash_ring_prime_ap_local(
     *,
     n_head: int, d_head: int, scale: float,
     block_m: int = DEFAULT_BLOCK_M, interpret: bool = False,
+    compact: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Single-shard body of :func:`flash_ring_prime_ap` (the (q, h) column
     flattening, the pallas_call, and its XLA block-merge epilogue)."""
@@ -568,11 +626,13 @@ def _flash_ring_prime_ap_local(
     stat_spec = pl.BlockSpec((1, 1, 1, QH), lambda b, i, l: (b, i, 0, 0))
 
     if quantized:
-        kern = functools.partial(_prime_ap_kernel_q, n_head=n_head, n_q=Q)
+        kern = functools.partial(_prime_ap_kernel_q, n_head=n_head, n_q=Q,
+                                 compact=compact)
         in_specs = [kv_spec, kv_spec, sc_spec, sc_spec, qwt_spec, bias_spec]
         operands = (lidx, k_cache, v_cache, k_scale, v_scale, qwt, bias_t)
     else:
-        kern = functools.partial(_prime_ap_kernel, n_head=n_head, n_q=Q)
+        kern = functools.partial(_prime_ap_kernel, n_head=n_head, n_q=Q,
+                                 compact=compact)
         in_specs = [kv_spec, kv_spec, qwt_spec, bias_spec]
         operands = (lidx, k_cache, v_cache, qwt, bias_t)
 

@@ -191,6 +191,11 @@ def main() -> None:
                     help="train mode: PRNG behind the dropout masks; rbg = "
                          "hardware RngBitGenerator (threefry masks cost "
                          "~16%% of the 1.2B step)")
+    ap.add_argument("--prime-compact", action="store_true",
+                    help="eval mode: compact-softmax all-pairs prime "
+                         "kernel (decode_prime_compact — diagonal-only "
+                         "softmax, 16x less exp/reduce VPU work; "
+                         "output-equal, opt-in pending a chip win)")
     ap.add_argument("--pad-buckets", action="store_true",
                     help="eval mode: decode with geometry-bucket "
                          "coarsening (pad the steady prime to the "
@@ -469,6 +474,7 @@ def _eval_setup(args, n_envs: int, episode_len: int, geometry: str):
         cfg.model.param_dtype = "bfloat16"
     cfg.model.decode_cache_dtype = args.cache_dtype
     cfg.model.decode_weight_dtype = getattr(args, "weight_dtype", "")
+    cfg.model.decode_prime_compact = getattr(args, "prime_compact", False)
     if getattr(args, "spec_ceiling", False) \
             or getattr(args, "spec_adaptive", False):
         args.speculate = True
@@ -646,6 +652,8 @@ def bench_eval(args, geometry=None, tag: str = "") -> None:
     mean_dt = float(np.mean(times))
     actions_per_sec = B / mean_dt
     suffix = ("" if geometry == "mujoco" else f"_{geometry}") + tag
+    if getattr(args, "prime_compact", False):
+        suffix += "_compact"
     if getattr(args, "pad_buckets", False):
         suffix += "_buckets"
     if getattr(args, "spec_adaptive", False):

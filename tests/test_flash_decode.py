@@ -231,3 +231,85 @@ def test_prime_allpairs_int8_matches_perhead_int8():
     out_a = np.asarray(o_a) / np.asarray(l_a)[..., None]
     out_p = np.asarray(o_p) / np.asarray(l_p)[..., None]
     np.testing.assert_allclose(out_a, out_p, rtol=2e-5, atol=2e-5)
+
+
+def test_prime_allpairs_compact_matches_default():
+    """compact=True (diagonal-extracted softmax: 16x less exp/reduce VPU
+    work, xprof r5) is output-equal with the default all-pairs path —
+    bf16-exact caches AND int8+scales, including banned slots and a
+    fully-banned column."""
+    from bdm_db1_tpu.ops.flash_ring_decode import flash_ring_prime_ap
+
+    L, B, M, H, Dh, Q = 3, 2, 16, 4, 8, 5
+    rng = np.random.RandomState(7)
+    k2 = jnp.asarray(rng.randn(L, B, M, H, Dh), jnp.float32)
+    v2 = jnp.asarray(rng.randn(L, B, M, H, Dh), jnp.float32)
+    qw = jnp.asarray(rng.randn(B, H, Q, Dh), jnp.float32)
+    bias = jnp.asarray(rng.randn(B, H, Q, M), jnp.float32)
+    bias = bias.at[:, :, :, 3].set(-1e30)
+    bias = bias.at[:, 2, 1, :].set(-1e30)
+    scale = 1.0 / np.sqrt(Dh)
+    lidx = jnp.array(2, jnp.int32)
+    kw = dict(n_head=H, d_head=Dh, scale=scale, block_m=8, interpret=True)
+
+    o_d, m_d, l_d = flash_ring_prime_ap(k2, v2, qw, bias, lidx, **kw)
+    o_c, m_c, l_c = flash_ring_prime_ap(k2, v2, qw, bias, lidx,
+                                        compact=True, **kw)
+    live = np.asarray(m_d) > -1e29
+    np.testing.assert_allclose(np.asarray(m_c)[live], np.asarray(m_d)[live],
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(l_c)[live], np.asarray(l_d)[live],
+                               rtol=2e-5, atol=2e-5)
+    out_d = np.asarray(o_d) / np.asarray(l_d)[..., None]
+    out_c = np.asarray(o_c) / np.asarray(l_c)[..., None]
+    np.testing.assert_allclose(out_c[live], out_d[live],
+                               rtol=2e-5, atol=2e-5)
+    assert (np.asarray(m_c)[~live] < -1e29).all()
+
+    # int8 + scales
+    k8 = jnp.asarray(rng.randint(-127, 128, (L, B, M, H, Dh)), jnp.int8)
+    v8 = jnp.asarray(rng.randint(-127, 128, (L, B, M, H, Dh)), jnp.int8)
+    ks = jnp.asarray(rng.rand(L, B, M, H) * 0.1 + 0.01, jnp.float32)
+    vs = jnp.asarray(rng.rand(L, B, M, H) * 0.1 + 0.01, jnp.float32)
+    o_d, m_d, l_d = flash_ring_prime_ap(k8, v8, qw, bias, lidx, ks, vs,
+                                        **kw)
+    o_c, m_c, l_c = flash_ring_prime_ap(k8, v8, qw, bias, lidx, ks, vs,
+                                        compact=True, **kw)
+    np.testing.assert_allclose(np.asarray(m_c), np.asarray(m_d),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(l_c), np.asarray(l_d),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(o_c) / np.asarray(l_c)[..., None],
+        np.asarray(o_d) / np.asarray(l_d)[..., None],
+        rtol=2e-5, atol=2e-5)
+
+
+def test_compact_prime_decode_chain_matches():
+    """decode_prime_compact=True end to end: greedy chains equal the
+    default flash chain and the XLA ring chain."""
+    import dataclasses
+
+    from test_batched_eval import _setup
+    from test_speculative import _chain, _episode_primes
+
+    from bdm_db1_tpu.eval.decode import build_decoder_for_env
+    from bdm_db1_tpu.eval.envs import FakeContinuousEnv
+    from bdm_db1_tpu.models.transformer_xl import TransformerXL
+
+    cfg, model, params, tenvs = _setup(
+        FakeContinuousEnv, 2, obs_dim=4, act_dim=2, episode_len=8)
+    primes = _episode_primes(tenvs, 0, 5, 4)
+    xmodel = TransformerXL(
+        dataclasses.replace(model.cfg, decode_flash="off"),
+        cfg.vocab, cfg.vision)
+    ref = _chain(build_decoder_for_env(xmodel, params, tenvs[0]),
+                 primes, defer=True)
+    cmodel = TransformerXL(
+        dataclasses.replace(model.cfg, decode_flash="on",
+                            decode_prime_compact=True),
+        cfg.vocab, cfg.vision)
+    got = _chain(build_decoder_for_env(cmodel, params, tenvs[0]),
+                 primes, defer=True)
+    for k, (a, b) in enumerate(zip(ref, got)):
+        np.testing.assert_array_equal(a, b, err_msg=f"step {k}")
