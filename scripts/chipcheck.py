@@ -250,6 +250,34 @@ def _():
     return "ok"
 
 
+@check("flash_ring_prime_ap compact softmax Q=24 bf16+int8")
+def _():
+    import jax.numpy as jnp
+
+    from bdm_db1_tpu.ops.flash_ring_decode import flash_ring_prime_ap
+
+    L, B, M, H, Dh, Q = 2, 8, 1024, 16, 128, 24
+    k, v, rng = _ring_setup(L, B, M, H, Dh)
+    qw = jnp.asarray(rng.randn(B, H, Q, Dh).astype(np.float32), jnp.bfloat16)
+    bias = jnp.zeros((B, H, Q, M), jnp.float32)
+    kw = dict(n_head=H, d_head=Dh, scale=1.0 / Dh ** 0.5)
+    o_d, m_d, l_d = flash_ring_prime_ap(k, v, qw, bias, jnp.int32(1), **kw)
+    o_c, m_c, l_c = flash_ring_prime_ap(k, v, qw, bias, jnp.int32(1),
+                                        compact=True, **kw)
+    err = float(jnp.max(jnp.abs(o_c / l_c[..., None] - o_d / l_d[..., None])))
+    assert err < 5e-2, err
+    kq = (k.astype(jnp.float32) * 127).round().clip(-127, 127).astype(
+        jnp.int8)
+    vq = (v.astype(jnp.float32) * 127).round().clip(-127, 127).astype(
+        jnp.int8)
+    ks = jnp.full((L, B, M, H), 1 / 127, jnp.float32)
+    vs = jnp.full((L, B, M, H), 1 / 127, jnp.float32)
+    o2, _, _ = flash_ring_prime_ap(kq, vq, qw, bias, jnp.int32(0), ks, vs,
+                                   compact=True, **kw)
+    assert bool(jnp.isfinite(o2).all())
+    return f"compact==default abs_err {err:.2e}"
+
+
 @check("masked_ce_tied (fused LM-head cross-entropy)")
 def _():
     import jax
